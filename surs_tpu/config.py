@@ -1,0 +1,211 @@
+"""Configuration for SuRS-TPU.
+
+Replaces the reference's argparse ``BaseOptions`` (lib/options.py:5-214)
+with a typed dataclass + CLI bridge. Flag names and defaults match the
+reference's public surface so the README train/test command lines port
+over unchanged; TPU-specific knobs live at the bottom.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+
+def _f(default) -> object:
+    return field(default_factory=lambda: list(default))
+
+
+@dataclass
+class SuRSConfig:
+    # ---- Data (lib/options.py:11-15) ----
+    dataroot: str = "./data"
+    loadSize: int = 512
+
+    # ---- Experiment (lib/options.py:18-24) ----
+    name: str = "example"
+    debug: bool = False
+    num_views: int = 1
+    random_multiview: bool = False
+
+    # ---- Training (lib/options.py:27-51) ----
+    gpu_id: int = 0                 # accepted for CLI parity; unused on TPU
+    gpu_ids: str = "0"              # accepted for CLI parity; unused on TPU
+    num_threads: int = 1
+    serial_batches: bool = False
+    pin_memory: bool = False
+    batch_size: int = 2
+    learning_rate: float = 1e-3
+    learning_rateC: float = 1e-3
+    num_epoch: int = 100
+    freq_plot: int = 10
+    freq_save: int = 50
+    freq_save_ply: int = 100
+    scale: int = 2
+    rgb_range: int = 255
+    no_gen_mesh: bool = False
+    no_num_eval: bool = False
+    resume_epoch: int = -1
+    continue_train: int = -1        # 0 means *do* resume (reference quirk,
+                                    # apps/train_SuRS.py:87-93)
+
+    # ---- Testing (lib/options.py:55-56) ----
+    resolution: int = 512
+    test_folder_path: Optional[str] = None
+
+    # ---- Sampling (lib/options.py:60-65) ----
+    sigma: float = 5.0
+    num_sample_inout: int = 6000
+    num_sample_color: int = 0
+    z_size: float = 200.0
+
+    # ---- Model (lib/options.py:70-101) ----
+    norm: str = "group"
+    norm_color: str = "instance"
+    hg_depth: int = 2
+    hg_dim: int = 256
+    num_stack_lr: int = 3
+    num_stack_hr: int = 1
+    num_hourglass: int = 2
+    skip_hourglass: bool = False
+    hg_down: str = "ave_pool"
+    hourglass_dim: int = 256
+    mlp_norm: str = "group"
+    mlp_dim_lr: List[int] = _f([321, 1024, 512, 256, 128, 1])
+    mlp_dim_hr: List[int] = _f([322, 1024, 512, 256, 128, 1])
+    mlp_dim_color: List[int] = _f([513, 1024, 512, 256, 128, 3])
+    mlp_res_layers_lr: List[int] = _f([2, 3, 4])
+    mlp_res_layers_hr: List[int] = _f([2, 3, 4])
+    use_tanh: bool = False
+
+    # ---- Train extras (lib/options.py:103-145) ----
+    scale_pifu: float = 0.01
+    random_flip: bool = False
+    random_trans: bool = False
+    random_scale: bool = False
+    no_residual: bool = False
+    schedule: List[int] = _f([60, 80])
+    n_block: List[int] = _f([2, 2, 2])
+    gamma: float = 0.1
+    color_loss_type: str = "l1"
+    losses: str = "l1"
+    residual: bool = False
+    mlp1: float = 1.0
+    mlp2: float = 1.0
+    srweight: float = 1.0
+    dispweight: float = 1.0
+    b_min: List[float] = _f([-128.0, -28.0, -128.0])
+    b_max: List[float] = _f([128.0, 228.0, 128.0])
+    disp_error: int = 1
+    n_train: int = 300
+    n_val: int = 60
+    optimizer: str = "ADAM"         # SGD | ADAM | RMSprop | AMSgrad
+    momentum: float = 0.9
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-8
+    ams: bool = False
+    weight_decay: float = 0.0
+
+    # ---- Eval (lib/options.py:147-173) ----
+    val_test_error: bool = False
+    val_train_error: bool = False
+    gen_test_mesh: bool = False
+    gen_train_mesh: bool = False
+    all_mesh: bool = False
+    num_gen_mesh_test: int = 1
+    n_colors: int = 3
+    checkpoints_path: str = "./checkpoints"
+    load_netG_checkpoint_path: Optional[str] = None
+    load_netC_checkpoint_path: Optional[str] = None
+    results_path: str = "./results"
+    load_checkpoint_path: Optional[str] = None
+    single: str = ""
+    mask_path: Optional[str] = None
+    img_path: Optional[str] = None
+    num_samples: int = 50000
+    threshold: float = 0.05
+    with_color: bool = False
+    both_color: bool = False
+    change_weights: bool = False
+
+    # ---- Augmentation (lib/options.py:175-181) ----
+    aug_alstd: float = 0.0
+    aug_bri: float = 0.0
+    aug_con: float = 0.0
+    aug_sat: float = 0.0
+    aug_hue: float = 0.0
+    aug_blur: float = 0.0
+
+    # ---- TPU-native knobs (new) ----
+    dtype: str = "float32"          # compute dtype for conv trunks
+    mesh_axis_data: str = "data"    # device-mesh axis for batch sharding
+    mesh_axis_points: str = "points"  # device-mesh axis for query sharding
+    use_pallas: bool = True         # fused Pallas point-query MLP
+    octree_init_resolution: int = 64
+    use_octree: bool = True
+    profile_dir: Optional[str] = None
+    seed: int = 1991
+
+    # ------------------------------------------------------------------
+    @property
+    def projection_mode(self) -> str:
+        return "orthogonal"
+
+    def validate(self) -> "SuRSConfig":
+        assert self.optimizer in ("SGD", "ADAM", "RMSprop", "AMSgrad")
+        assert self.norm in ("batch", "group")
+        assert self.loadSize % 8 == 0, "loadSize must be divisible by 8"
+        assert len(self.mlp_dim_lr) >= 2 and len(self.mlp_dim_hr) >= 2
+        return self
+
+
+_BOOL_FIELDS = {
+    f.name for f in dataclasses.fields(SuRSConfig) if f.type == "bool"
+}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """argparse parser exposing every config field as ``--name``.
+
+    Booleans are store_true flags (argparse parity with the reference);
+    list fields use nargs='+'.
+    """
+    p = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    defaults = SuRSConfig()
+    for f in dataclasses.fields(SuRSConfig):
+        name = "--" + f.name
+        default = getattr(defaults, f.name)
+        if f.name in _BOOL_FIELDS:
+            p.add_argument(name, action="store_true", default=default)
+        elif isinstance(default, list):
+            elem = type(default[0]) if default else str
+            p.add_argument(name, nargs="+", type=elem, default=default)
+        elif default is None:
+            p.add_argument(name, type=str, default=None)
+        else:
+            p.add_argument(name, type=type(default), default=default)
+    return p
+
+
+def parse_config(argv: Optional[Sequence[str]] = None) -> SuRSConfig:
+    args = build_parser().parse_args(argv)
+    return SuRSConfig(**vars(args)).validate()
+
+
+def print_config(cfg: SuRSConfig) -> str:
+    """Human-readable dump, analogous to BaseOptions.print_options
+    (lib/options.py:198-208)."""
+    defaults = SuRSConfig()
+    lines = ["----------------- Options ---------------"]
+    for f in sorted(dataclasses.fields(SuRSConfig), key=lambda f: f.name):
+        v = getattr(cfg, f.name)
+        comment = ""
+        if v != getattr(defaults, f.name):
+            comment = f"\t[default: {getattr(defaults, f.name)}]"
+        lines.append(f"{f.name:>25}: {str(v):<30}{comment}")
+    lines.append("----------------- End -------------------")
+    return "\n".join(lines)

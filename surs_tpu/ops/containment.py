@@ -1,0 +1,76 @@
+"""Point-in-mesh containment on TPU via generalized winding numbers.
+
+The reference labels training samples with ``trimesh.contains`` backed by
+an Embree BVH on the host CPU (lib/data/TrainDataset_LR_v2.py:377-387) —
+a per-item hot spot. Here containment is a dense batched computation that
+rides the TPU: the solid angle each triangle subtends at each query point
+(van Oosterom & Strackee), summed over triangles; |winding| > 2*pi means
+inside. O(P*T) flops, tiled over triangles with a lax.scan accumulator so
+memory stays at [P, chunk].
+
+For watertight meshes this matches an exact BVH containment test; it is
+additionally robust to small cracks (winding degrades gracefully).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+TWO_PI = 2.0 * np.pi
+
+
+def _solid_angle_sum(points: jnp.ndarray, tris: jnp.ndarray) -> jnp.ndarray:
+    """points [P, 3], tris [T, 3, 3] -> accumulated solid angle [P]."""
+    a = tris[None, :, 0, :] - points[:, None, :]   # [P, T, 3]
+    b = tris[None, :, 1, :] - points[:, None, :]
+    c = tris[None, :, 2, :] - points[:, None, :]
+    la = jnp.linalg.norm(a, axis=-1)
+    lb = jnp.linalg.norm(b, axis=-1)
+    lc = jnp.linalg.norm(c, axis=-1)
+    det = jnp.sum(a * jnp.cross(b, c), axis=-1)
+    denom = (la * lb * lc + jnp.sum(a * b, axis=-1) * lc
+             + jnp.sum(b * c, axis=-1) * la + jnp.sum(c * a, axis=-1) * lb)
+    return jnp.sum(2.0 * jnp.arctan2(det, denom), axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("tri_chunk",))
+def winding_number(points: jnp.ndarray, tris: jnp.ndarray,
+                   tri_chunk: int = 2048) -> jnp.ndarray:
+    """Generalized winding number of each point w.r.t. a triangle soup.
+
+    points: [P, 3]; tris: [T, 3, 3] (triangle vertices). Returns [P]
+    float32 (~ +-2*pi*k). T is padded to a multiple of tri_chunk with
+    degenerate (zero-area) triangles, which contribute zero angle.
+    """
+    T = tris.shape[0]
+    pad = -T % tri_chunk
+    tris = jnp.pad(tris, ((0, pad), (0, 0), (0, 0)))
+    n_chunks = (T + pad) // tri_chunk
+    chunks = tris.reshape(n_chunks, tri_chunk, 3, 3)
+
+    def body(acc, chunk):
+        return acc + _solid_angle_sum(points, chunk), None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros(points.shape[0], jnp.float32),
+                          chunks)
+    return acc
+
+
+def contains(points: np.ndarray, verts: np.ndarray, faces: np.ndarray,
+             tri_chunk: int = 2048, point_chunk: int = 8192) -> np.ndarray:
+    """Boolean inside/outside for [P, 3] points against a triangle mesh.
+
+    Drop-in replacement for trimesh/pyembree ``mesh.contains``.
+    """
+    tris = jnp.asarray(np.asarray(verts, np.float32)[np.asarray(faces)])
+    points = np.asarray(points, np.float32)
+    out = np.empty(points.shape[0], dtype=bool)
+    for s in range(0, points.shape[0], point_chunk):
+        w = winding_number(jnp.asarray(points[s:s + point_chunk]), tris,
+                           tri_chunk=tri_chunk)
+        out[s:s + point_chunk] = np.asarray(jnp.abs(w) > TWO_PI * 0.5)
+    return out

@@ -1,0 +1,225 @@
+"""Fused dual point-MLP Pallas kernel.
+
+The reference's inference hot loop runs two 5-layer Conv1d MLPs per 50k
+-point chunk (lib/mesh_util.py:20-28 -> lib/model/SurfaceClassifier.py:45).
+Under plain XLA each layer's activation round-trips HBM (a [N, 1024] f32
+tensor is ~200 MB per 50k chunk of traffic across the stack); this kernel
+keeps the whole chain — coarse MLP, sigmoid, conditioning concat, fine
+MLP — in VMEM, with all weights resident, so HBM traffic is just the
+[N, C_in] input features and two [N] outputs.
+
+Layout strategy: every channel dimension is zero-padded to a multiple of
+128 lanes. Zero pad rows in the weights guarantee padded input columns
+never contribute, so results are bit-identical to the unpadded math. The
+residual re-concat of the original input (res_layers {2,3,4},
+SurfaceClassifier.py:30-43) becomes an aligned VMEM concatenation.
+
+The same padded weights drive a pure-XLA fallback (`fused_dual_mlp_xla`)
+used on CPU and as the autodiff path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Sequence, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
+class MLPSpec(NamedTuple):
+    dims: Tuple[int, ...]          # e.g. (321, 1024, 512, 256, 128, 1)
+    res_layers: Tuple[int, ...]    # layers receiving the input re-concat
+    base_segments: Tuple[int, ...]  # real widths of the base input parts
+    # (lr: (321,); hr: (321, 1) — features and the coarse prediction)
+
+
+class FusedWeights(NamedTuple):
+    """Padded parameters for both MLPs (a pytree of device arrays)."""
+    lr_w: Tuple[jnp.ndarray, ...]
+    lr_b: Tuple[jnp.ndarray, ...]
+    hr_w: Tuple[jnp.ndarray, ...]
+    hr_b: Tuple[jnp.ndarray, ...]
+    spec_lr: MLPSpec
+    spec_hr: MLPSpec
+
+
+def _pad_layer(W: jnp.ndarray, b: jnp.ndarray, in_segments, out_pad: int,
+               dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Zero-pad W [in, out] so each input segment starts on a 128 boundary.
+
+    in_segments: list of (row_offset_in_W, real_width, padded_width).
+    """
+    out = W.shape[1]
+    parts = []
+    for off, real, padded in in_segments:
+        seg = W[off:off + real]
+        parts.append(jnp.pad(seg, ((0, padded - real), (0, 0))))
+    Wp = jnp.concatenate(parts, axis=0)
+    Wp = jnp.pad(Wp, ((0, 0), (0, out_pad - out)))
+    bp = jnp.pad(b, (0, out_pad - out))
+    return Wp.astype(dtype), bp.reshape(1, -1).astype(jnp.float32)
+
+
+def _layer_segments(spec: MLPSpec, i: int):
+    """Original-row -> padded-row mapping for layer i's input."""
+    d_in = spec.dims[i]
+    segs = [(0, d_in, _round128(d_in))]
+    if i == 0:
+        # base input is itself the concatenation of base_segments
+        segs = []
+        off = 0
+        for real in spec.base_segments:
+            segs.append((off, real, _round128(real)))
+            off += real
+    elif i in spec.res_layers:
+        off = d_in
+        for real in spec.base_segments:
+            segs.append((off, real, _round128(real)))
+            off += real
+    return segs
+
+
+def _pad_mlp(params, spec: MLPSpec, dtype):
+    ws, bs = [], []
+    n_layers = len(spec.dims) - 1
+    for i in range(n_layers):
+        W = jnp.asarray(params[f"conv{i}"]["kernel"])  # [in, out]
+        b = jnp.asarray(params[f"conv{i}"]["bias"])
+        out_pad = _round128(spec.dims[i + 1])
+        Wp, bp = _pad_layer(W, b, _layer_segments(spec, i), out_pad, dtype)
+        ws.append(Wp)
+        bs.append(bp)
+    return tuple(ws), tuple(bs)
+
+
+def prepare_fused_weights(params_mlp_lr, params_mlp_hr,
+                          dims_lr: Sequence[int], dims_hr: Sequence[int],
+                          res_layers_lr: Sequence[int] = (2, 3, 4),
+                          res_layers_hr: Sequence[int] = (2, 3, 4),
+                          dtype=jnp.float32) -> FusedWeights:
+    """Extract + pad SurfaceClassifier params for the fused kernel.
+
+    ``params_mlp_*`` are the Flax param subtrees (mlp_lr / mlp_hr of
+    SuRSNet). dims_hr[0] must equal dims_lr[0] + 1 (feature + coarse pred).
+    """
+    dims_lr = tuple(dims_lr)
+    dims_hr = tuple(dims_hr)
+    assert dims_hr[0] == dims_lr[0] + 1
+    spec_lr = MLPSpec(dims_lr, tuple(res_layers_lr), (dims_lr[0],))
+    spec_hr = MLPSpec(dims_hr, tuple(res_layers_hr), (dims_lr[0], 1))
+    lr_w, lr_b = _pad_mlp(params_mlp_lr, spec_lr, dtype)
+    hr_w, hr_b = _pad_mlp(params_mlp_hr, spec_hr, dtype)
+    return FusedWeights(lr_w, lr_b, hr_w, hr_b, spec_lr, spec_hr)
+
+
+# --------------------------------------------------------------------------
+def _mlp_chain(h_base_parts: List[jnp.ndarray], ws, bs, spec: MLPSpec,
+               compute_dtype):
+    """Shared layer chain used by both the kernel body and the XLA path.
+
+    h_base_parts: padded base segments ([x_pad] or [x_pad, pred_pad]).
+    Returns the final layer's padded output (real value in column 0).
+    """
+    n_layers = len(spec.dims) - 1
+    h = jnp.concatenate(h_base_parts, axis=-1) if len(h_base_parts) > 1 \
+        else h_base_parts[0]
+    for i in range(n_layers):
+        if i > 0 and i in spec.res_layers:
+            inp = jnp.concatenate([h] + h_base_parts, axis=-1)
+        else:
+            inp = h
+        h = jnp.dot(inp.astype(compute_dtype), ws[i],
+                    preferred_element_type=jnp.float32) + bs[i]
+        if i < n_layers - 1:
+            h = jnp.where(h >= 0, h, 0.01 * h)  # leaky_relu(0.01)
+    return h
+
+
+def _kernel(x_ref, *refs, n_lr: int, n_hr: int, spec_lr: MLPSpec,
+            spec_hr: MLPSpec, compute_dtype):
+    lr_w = [refs[i][:] for i in range(n_lr)]
+    lr_b = [refs[n_lr + i][:] for i in range(n_lr)]
+    hr_w = [refs[2 * n_lr + i][:] for i in range(n_hr)]
+    hr_b = [refs[2 * n_lr + n_hr + i][:] for i in range(n_hr)]
+    out_hr_ref = refs[-2]
+    out_lr_ref = refs[-1]
+
+    x = x_ref[:]                                   # [TN, P0]
+    logit_lr = _mlp_chain([x], lr_w, lr_b, spec_lr, compute_dtype)
+    pred_lr = jax.nn.sigmoid(logit_lr[:, :1])      # [TN, 1]
+    pred_pad = jnp.pad(pred_lr, ((0, 0), (0, 127)))
+    logit_hr = _mlp_chain([x, pred_pad], hr_w, hr_b, spec_hr, compute_dtype)
+    pred_hr = jax.nn.sigmoid(logit_hr[:, :1])
+
+    out_hr_ref[:] = jnp.pad(pred_hr, ((0, 0), (0, 127)))
+    out_lr_ref[:] = jnp.pad(pred_lr, ((0, 0), (0, 127)))
+
+
+def fused_dual_mlp(x: jnp.ndarray, fw: FusedWeights, block_n: int = 512,
+                   interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Run both occupancy MLPs over point features.
+
+    x: [N, C_in] raw (unpadded) point features, C_in = dims_lr[0].
+    Returns (pred_hr [N], pred_lr [N]) in [0, 1]. N is padded to a
+    multiple of ``block_n`` internally.
+    """
+    N, C = x.shape
+    assert C == fw.spec_lr.dims[0]
+    P0 = _round128(C)
+    n_pad = -N % block_n
+    xp = jnp.pad(x, ((0, n_pad), (0, P0 - C)))
+    Np = N + n_pad
+
+    n_lr = len(fw.lr_w)
+    n_hr = len(fw.hr_w)
+    weight_arrays = (list(fw.lr_w) + list(fw.lr_b) +
+                     list(fw.hr_w) + list(fw.hr_b))
+    compute_dtype = fw.lr_w[0].dtype
+
+    kernel = functools.partial(_kernel, n_lr=n_lr, n_hr=n_hr,
+                               spec_lr=fw.spec_lr, spec_hr=fw.spec_hr,
+                               compute_dtype=compute_dtype)
+
+    grid = (Np // block_n,)
+    in_specs = [pl.BlockSpec((block_n, P0), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for w in weight_arrays:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_specs = [pl.BlockSpec((block_n, 128), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] * 2
+
+    out_hr, out_lr = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((Np, 128), jnp.float32)] * 2,
+        interpret=interpret,
+    )(xp, *weight_arrays)
+    return out_hr[:N, 0], out_lr[:N, 0]
+
+
+def fused_dual_mlp_xla(x: jnp.ndarray, fw: FusedWeights
+                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pure-XLA evaluation with the same padded weights (CPU fallback /
+    differentiable path). Numerically identical to the kernel."""
+    N, C = x.shape
+    P0 = _round128(C)
+    xp = jnp.pad(x, ((0, 0), (0, P0 - C)))
+    compute_dtype = fw.lr_w[0].dtype
+    logit_lr = _mlp_chain([xp], fw.lr_w, fw.lr_b, fw.spec_lr, compute_dtype)
+    pred_lr = jax.nn.sigmoid(logit_lr[:, :1])
+    pred_pad = jnp.pad(pred_lr, ((0, 0), (0, 127)))
+    logit_hr = _mlp_chain([xp, pred_pad], fw.hr_w, fw.hr_b, fw.spec_hr,
+                          compute_dtype)
+    pred_hr = jax.nn.sigmoid(logit_hr[:, :1])
+    return pred_hr[:, 0], pred_lr[:, 0]

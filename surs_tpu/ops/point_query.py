@@ -1,0 +1,61 @@
+"""Fused point-query path: projection + pixel-aligned gather + dual MLP.
+
+Drop-in replacement for ``SuRSNet.query`` (inference) that routes the MLP
+stack through the fused Pallas kernel (fused_mlp.py). Semantics are
+identical: orthographic projection, bilinear feature sampling from the
+last hourglass stack + the HR projection, depth-feature concat, coarse
+MLP -> conditioning -> fine MLP, in-image masking.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Tuple
+
+import jax.numpy as jnp
+
+from .geometry import PROJECTIONS, in_image_mask, normalize_depth
+from .grid_sample import grid_sample_points
+from .fused_mlp import FusedWeights, fused_dual_mlp, fused_dual_mlp_xla
+
+
+def fused_query(fw: FusedWeights, feat_lr: jnp.ndarray,
+                feat_hr: jnp.ndarray, points: jnp.ndarray,
+                calibs: jnp.ndarray, load_size: int, z_size: float,
+                projection: str = "orthogonal", use_pallas: bool = True,
+                block_n: int = 512, interpret: bool = False
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """points [B, 3, N] -> (pred_hr [B, N], pred_lr [B, N])."""
+    xyz = PROJECTIONS[projection](points, calibs)
+    xy = xyz[:, :2, :]
+    z = xyz[:, 2:3, :]
+    mask = in_image_mask(xy)                                    # [B, N]
+    z_feat = jnp.swapaxes(normalize_depth(z, load_size, z_size), 1, 2)
+    uv = jnp.swapaxes(xy, 1, 2)                                 # [B, N, 2]
+
+    x = jnp.concatenate([grid_sample_points(feat_lr, uv),
+                         grid_sample_points(feat_hr, uv), z_feat], axis=-1)
+    B, N, C = x.shape
+    flat = x.reshape(B * N, C)
+    if use_pallas:
+        hr, lr = fused_dual_mlp(flat, fw, block_n=block_n,
+                                interpret=interpret)
+    else:
+        hr, lr = fused_dual_mlp_xla(flat, fw)
+    return hr.reshape(B, N) * mask, lr.reshape(B, N) * mask
+
+
+def make_fused_query_fn(fw: FusedWeights, load_size: int, z_size: float,
+                        projection: str = "orthogonal",
+                        use_pallas: bool = True, block_n: int = 512,
+                        interpret: bool = False) -> Callable:
+    """Build a ``query_fn(params, feats_lr, feat_hr, points, calibs)``
+    compatible with recon.pipeline (params ignored — weights are already
+    baked into ``fw``)."""
+    def query_fn(params, feats_lr: List[jnp.ndarray], feat_hr, points,
+                 calibs):
+        del params
+        return fused_query(fw, feats_lr[-1], feat_hr, points, calibs,
+                           load_size, z_size, projection,
+                           use_pallas=use_pallas, block_n=block_n,
+                           interpret=interpret)
+    return query_fn

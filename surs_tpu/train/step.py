@@ -1,0 +1,85 @@
+"""Jitted training step with data-parallel sharding.
+
+Replaces the reference's eager loop body (apps/train_SuRS.py:122-148:
+forward -> zero_grad -> backward -> step) with a single donated jit
+program. Under a device mesh, the batch is sharded over the "data" axis
+and params are replicated; XLA inserts the gradient all-reduce (psum)
+over ICI — the NCCL-equivalent the reference lacks (SURVEY.md §2.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.surs_net import SuRSNet
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    batch_stats: Any = None  # only populated for norm='batch'
+
+    def replace_params(self, params):
+        return self.replace(params=params)
+
+
+def create_train_state(model: SuRSNet, optimizer, rng, sample_batch,
+                       ) -> TrainState:
+    variables = model.init(rng, **sample_batch, train=True)
+    params = variables["params"]
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      opt_state=optimizer.init(params),
+                      batch_stats=variables.get("batch_stats"))
+
+
+def make_train_step(model: SuRSNet, optimizer, donate: bool = True):
+    """Returns jitted ``step(state, batch) -> (state, metrics)``.
+
+    batch keys: images_lr, images_hr, points_lr, points_hr, calibs,
+    labels_lr (displacement), labels_hr (occupancy).
+    """
+    has_bn = model.norm == "batch"
+
+    def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_bn:
+                variables["batch_stats"] = state.batch_stats
+                (pred_hr, total, pred_lr, errors), updates = model.apply(
+                    variables, train=True, mutable=["batch_stats"], **batch)
+                return total, (errors, updates["batch_stats"],
+                               pred_hr, pred_lr)
+            pred_hr, total, pred_lr, errors = model.apply(
+                variables, train=True, **batch)
+            return total, (errors, None, pred_hr, pred_lr)
+
+        grads, (errors, new_bs, pred_hr, pred_lr) = jax.grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt_state,
+                                  batch_stats=new_bs if has_bn
+                                  else state.batch_stats)
+        metrics = dict(errors)
+        metrics["pred_hr"] = pred_hr
+        metrics["pred_lr"] = pred_lr
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_loss_step(model: SuRSNet):
+    """Jitted loss-only forward for validation."""
+    def step(params, batch):
+        _, total, _, errors = model.apply({"params": params}, train=False,
+                                          **batch)
+        return errors
+    return jax.jit(step)

@@ -1,0 +1,88 @@
+"""Fused dual-MLP kernel parity vs the Flax SurfaceClassifier modules."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from surs_tpu.models import SurfaceClassifier, SuRSNet
+from surs_tpu.ops.fused_mlp import (prepare_fused_weights, fused_dual_mlp,
+                                    fused_dual_mlp_xla)
+from surs_tpu.ops.point_query import make_fused_query_fn
+
+DIMS_LR = (321, 1024, 512, 256, 128, 1)
+DIMS_HR = (322, 1024, 512, 256, 128, 1)
+
+
+@pytest.fixture(scope="module")
+def mlps():
+    mlp_lr = SurfaceClassifier(DIMS_LR, res_layers=(2, 3, 4))
+    mlp_hr = SurfaceClassifier(DIMS_HR, res_layers=(2, 3, 4))
+    x_lr = jnp.zeros((1, 4, DIMS_LR[0]))
+    x_hr = jnp.zeros((1, 4, DIMS_HR[0]))
+    p_lr = mlp_lr.init(jax.random.PRNGKey(0), x_lr)["params"]
+    p_hr = mlp_hr.init(jax.random.PRNGKey(1), x_hr)["params"]
+    return mlp_lr, mlp_hr, p_lr, p_hr
+
+
+def reference_chain(mlps, x):
+    """Coarse -> conditioning -> fine via the Flax modules."""
+    mlp_lr, mlp_hr, p_lr, p_hr = mlps
+    pred_lr = mlp_lr.apply({"params": p_lr}, x[None])          # [1, N, 1]
+    inp_hr = jnp.concatenate([x[None], pred_lr], axis=-1)
+    pred_hr = mlp_hr.apply({"params": p_hr}, inp_hr)
+    return np.asarray(pred_hr[0, :, 0]), np.asarray(pred_lr[0, :, 0])
+
+
+def test_xla_path_matches_flax(mlps, rng):
+    _, _, p_lr, p_hr = mlps
+    fw = prepare_fused_weights(p_lr, p_hr, DIMS_LR, DIMS_HR)
+    x = jnp.asarray(rng.standard_normal((37, 321)).astype(np.float32))
+    hr, lr = fused_dual_mlp_xla(x, fw)
+    ref_hr, ref_lr = reference_chain(mlps, x)
+    np.testing.assert_allclose(np.asarray(lr), ref_lr, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hr), ref_hr, rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_kernel_matches_flax(mlps, rng):
+    """interpret=True exercises the exact kernel program on CPU."""
+    _, _, p_lr, p_hr = mlps
+    fw = prepare_fused_weights(p_lr, p_hr, DIMS_LR, DIMS_HR)
+    x = jnp.asarray(rng.standard_normal((300, 321)).astype(np.float32))
+    hr, lr = fused_dual_mlp(x, fw, block_n=256, interpret=True)
+    ref_hr, ref_lr = reference_chain(mlps, x)
+    np.testing.assert_allclose(np.asarray(lr), ref_lr, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hr), ref_hr, rtol=1e-5, atol=1e-6)
+
+
+def test_fused_query_matches_model(rng):
+    """End-to-end: fused query path == SuRSNet.query on random weights."""
+    net = SuRSNet(load_size=32, num_stack_lr=2)
+    S, N = 16, 50
+    img = jnp.asarray(rng.standard_normal((1, S, S, 3)).astype(np.float32))
+    img_hr = jnp.asarray(
+        rng.standard_normal((1, 2 * S, 2 * S, 3)).astype(np.float32))
+    pts0 = jnp.asarray((rng.random((1, 3, 4)) - 0.5).astype(np.float32))
+    calib0 = jnp.asarray(np.diag([2.0, -2.0, 2.0, 1.0]).astype(
+        np.float32))[None]
+    variables = net.init(jax.random.PRNGKey(0), img, img_hr, pts0, pts0,
+                         calib0, train=True)
+    params = variables["params"]
+    _, feats_lr, feat_hr = net.apply({"params": params}, img, train=False,
+                                     method=SuRSNet.encode)
+    pts = jnp.asarray((rng.random((1, 3, N)) - 0.5).astype(np.float32))
+    calib = jnp.asarray(np.tile(
+        np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32), (1, 1, 1)))
+
+    ref_hr, ref_lr = net.apply({"params": params}, feats_lr, feat_hr, pts,
+                               calib, method=SuRSNet.query)
+
+    fw = prepare_fused_weights(params["mlp_lr"], params["mlp_hr"],
+                               DIMS_LR, DIMS_HR)
+    qf = make_fused_query_fn(fw, load_size=32, z_size=200.0,
+                             use_pallas=False)
+    got_hr, got_lr = qf(None, feats_lr, feat_hr, pts, calib)
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
+                               rtol=1e-5, atol=1e-6)

@@ -1,0 +1,188 @@
+"""Model-level tests: shapes, golden numerics vs torch-functional oracles.
+
+The torch oracles here are built *functionally* from our Flax params (plain
+F.conv2d / F.group_norm call chains) purely as independent re-computations
+of the documented layer semantics — no reference code is imported.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from surs_tpu.models import (ConvBlock, SuRSSR, HGFilter, SurfaceClassifier,
+                             SuRSNet)
+
+
+def t(x):
+    return torch.from_numpy(np.asarray(x, dtype=np.float32))
+
+
+def conv_w(p):
+    """Flax conv kernel [kh,kw,in,out] -> torch [out,in,kh,kw]."""
+    return t(np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1)))
+
+
+def gn(px, x):
+    return F.group_norm(x, 32, t(px["scale"]), t(px["bias"]), eps=1e-5)
+
+
+def nchw(x):
+    return t(np.asarray(x).transpose(0, 3, 1, 2))
+
+
+def to_nhwc(x):
+    return x.numpy().transpose(0, 2, 3, 1)
+
+
+# ---------------------------------------------------------------------------
+def test_convblock_matches_torch_oracle(rng):
+    """ConvBlock semantics per lib/model/HGFilters.py:57-74."""
+    x = rng.standard_normal((2, 8, 8, 64)).astype(np.float32)
+    blk = ConvBlock(out_planes=128, norm="group")
+    params = blk.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    out = np.asarray(blk.apply({"params": params}, jnp.asarray(x)))
+
+    xt = nchw(x)
+    p = params
+    out1 = F.conv2d(F.relu(gn(p["bn1"]["gn"], xt)), conv_w(p["conv1"]),
+                    padding=1)
+    out2 = F.conv2d(F.relu(gn(p["bn2"]["gn"], out1)), conv_w(p["conv2"]),
+                    padding=1)
+    out3 = F.conv2d(F.relu(gn(p["bn3"]["gn"], out2)), conv_w(p["conv3"]),
+                    padding=1)
+    cat = torch.cat([out1, out2, out3], 1)
+    resid = F.conv2d(F.relu(gn(p["bn4"]["gn"], xt)),
+                     conv_w(p["downsample_conv"]))
+    ref = (cat + resid)
+    np.testing.assert_allclose(out, to_nhwc(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_convblock_identity_shortcut(rng):
+    x = rng.standard_normal((1, 4, 4, 128)).astype(np.float32)
+    blk = ConvBlock(out_planes=128, norm="group")
+    params = blk.init(jax.random.PRNGKey(1), jnp.asarray(x))["params"]
+    assert "downsample_conv" not in params  # identity shortcut when in==out
+    out = blk.apply({"params": params}, jnp.asarray(x))
+    assert out.shape == x.shape
+
+
+def test_surface_classifier_matches_torch_oracle(rng):
+    """Res-layer skip concats + leaky_relu per SurfaceClassifier.py:45-81."""
+    dims = (9, 16, 8, 8, 8, 1)
+    B, N = 2, 7
+    x = rng.standard_normal((B, N, dims[0])).astype(np.float32)
+    mlp = SurfaceClassifier(dims, res_layers=(2, 3, 4))
+    params = mlp.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+    out = np.asarray(mlp.apply({"params": params}, jnp.asarray(x)))
+
+    y = t(x)            # [B, N, C] — oracle works channels-last via matmul
+    tmpy = t(x)
+    for i in range(5):
+        inp = torch.cat([y, tmpy], -1) if i in (2, 3, 4) else y
+        k = t(np.asarray(params[f"conv{i}"]["kernel"]))
+        b = t(np.asarray(params[f"conv{i}"]["bias"]))
+        y = inp @ k + b
+        if i != 4:
+            y = F.leaky_relu(y, 0.01)
+    y = torch.sigmoid(y)
+    np.testing.assert_allclose(out, y.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_sr_net_shapes(rng):
+    S = 16
+    x = jnp.asarray(rng.standard_normal((1, S, S, 3)).astype(np.float32))
+    net = SuRSSR(residual=True)
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    img, f_lr, f_hr = net.apply({"params": params}, x)
+    assert img.shape == (1, 2 * S, 2 * S, 3)
+    assert f_lr.shape == (1, S // 2, S // 2, 256)
+    assert f_hr.shape == (1, 2 * S, 2 * S, 64)
+    # ResBlock bodies must exist when residual=True
+    assert "body1_0" in params and "body3_1" in params
+
+
+def test_sr_net_no_residual_has_no_bodies(rng):
+    S = 8
+    x = jnp.asarray(rng.standard_normal((1, S, S, 3)).astype(np.float32))
+    net = SuRSSR(residual=False)
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    assert not any(k.startswith("body") for k in params)
+
+
+def test_hgfilter_low_res_stacks(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 256)).astype(np.float32))
+    net = HGFilter(num_stack=3, depth=2, last_ch=256, down_type="low_res")
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    outs = net.apply({"params": params}, x)
+    assert len(outs) == 3
+    assert all(o.shape == (1, 8, 8, 256) for o in outs)
+
+
+def test_hgfilter_high_res_is_1x1_projection(rng):
+    x = jnp.asarray(rng.standard_normal((1, 8, 8, 64)).astype(np.float32))
+    net = HGFilter(num_stack=1, depth=2, last_ch=64, down_type="high_res")
+    params = net.init(jax.random.PRNGKey(0), x)["params"]
+    assert set(params) == {"conv5"}  # only the linear projection exists
+    outs = net.apply({"params": params}, x)
+    assert len(outs) == 1 and outs[0].shape == (1, 8, 8, 64)
+
+
+# ---------------------------------------------------------------------------
+def tiny_net(**kw):
+    return SuRSNet(load_size=32, num_stack_lr=2, hg_depth=2, residual=False,
+                   **kw)
+
+
+def tiny_batch(rng, B=1, N=8, S=16):
+    imgs_lr = rng.standard_normal((B, S, S, 3)).astype(np.float32)
+    imgs_hr = rng.standard_normal((B, 2 * S, 2 * S, 3)).astype(np.float32)
+    pts = (rng.random((2, B, 3, N)) - 0.5).astype(np.float32)
+    calib = np.tile(np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32),
+                    (B, 1, 1))
+    labels_hr = rng.integers(0, 2, (B, N, 1)).astype(np.float32)
+    labels_disp = rng.integers(0, 2, (B, N, 1)).astype(np.float32)
+    return tuple(map(jnp.asarray,
+                     (imgs_lr, imgs_hr, pts[0], pts[1], calib,
+                      labels_disp, labels_hr)))
+
+
+def test_surs_net_train_forward(rng):
+    net = tiny_net()
+    batch = tiny_batch(rng)
+    params = net.init(jax.random.PRNGKey(0), *batch, train=True)["params"]
+    pred_hr, err, pred_lr, errors = net.apply({"params": params}, *batch,
+                                              train=True)
+    assert pred_hr.shape == (1, 8, 1) and pred_lr.shape == (1, 8, 1)
+    assert np.isfinite(float(err))
+    assert float(jnp.min(pred_hr)) >= 0.0 and float(jnp.max(pred_hr)) <= 1.0
+    assert set(errors) == {"mlp1", "mlp2", "sr", "disp", "total"}
+
+
+def test_surs_net_query_eval_path(rng):
+    net = tiny_net()
+    batch = tiny_batch(rng)
+    params = net.init(jax.random.PRNGKey(0), *batch, train=True)["params"]
+    imgs_lr, _, _, pts_hr, calib = batch[:5]
+    img_sr, feats_lr, feat_hr = net.apply(
+        {"params": params}, imgs_lr, train=False, method=SuRSNet.encode)
+    assert len(feats_lr) == 1  # eval keeps only last stack
+    pred_hr, pred_lr = net.apply({"params": params}, feats_lr, feat_hr,
+                                 pts_hr, calib, method=SuRSNet.query)
+    assert pred_hr.shape == (1, 8) and pred_lr.shape == (1, 8)
+
+
+def test_surs_net_out_of_image_points_masked(rng):
+    net = tiny_net()
+    batch = tiny_batch(rng)
+    params = net.init(jax.random.PRNGKey(0), *batch, train=True)["params"]
+    imgs_lr, _, _, _, calib = batch[:5]
+    _, feats_lr, feat_hr = net.apply(
+        {"params": params}, imgs_lr, train=False, method=SuRSNet.encode)
+    far = jnp.full((1, 3, 4), 50.0)  # projects far outside [-1, 1]
+    pred_hr, pred_lr = net.apply({"params": params}, feats_lr, feat_hr,
+                                 far, calib, method=SuRSNet.query)
+    np.testing.assert_array_equal(np.asarray(pred_hr), 0.0)
+    np.testing.assert_array_equal(np.asarray(pred_lr), 0.0)

@@ -1,0 +1,215 @@
+"""Reconstruction-layer tests: grid math, octree parity, isosurface,
+mesh I/O, and the end-to-end pipeline with a fake occupancy oracle
+(the Vhull-debug-net testing pattern from the reference, SURVEY.md §4)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from surs_tpu.recon import (create_grid, grid_matrix, eval_grid_octree,
+                            eval_grid_dense, extract_isosurface,
+                            save_obj_mesh, load_obj,
+                            save_samples_truncted_prob)
+from surs_tpu.recon import native
+from surs_tpu.recon.tetra import marching_tetrahedra as mt_numpy
+from surs_tpu.recon.grid import flat_index_to_world
+
+
+# ---------------------------------------------------------------------------
+# reference-semantics numpy oracle for the octree evaluator
+# (mirrors lib/sdf.py:55-120 behavior for the parity test)
+def oracle_octree(eval_xyz, R, mat, threshold, init_res):
+    coords = np.mgrid[:R, :R, :R].reshape(3, -1).astype(np.float64)
+    coords = (mat[:3, :3] @ coords + mat[:3, 3:4]).reshape(3, R, R, R)
+    sdf_hr = np.zeros((R, R, R))
+    sdf_lr = np.zeros((R, R, R))
+    dirty = np.ones((R, R, R), dtype=bool)
+    grid_mask = np.zeros((R, R, R), dtype=bool)
+    reso = R // init_res
+    while reso > 0:
+        grid_mask[0:R:reso, 0:R:reso, 0:R:reso] = True
+        test_mask = np.logical_and(grid_mask, dirty)
+        points = coords[:, test_mask]
+        hr, lr = eval_xyz(points)
+        sdf_hr[test_mask] = hr
+        sdf_lr[test_mask] = lr
+        dirty[test_mask] = False
+        if reso <= 1:
+            break
+        for x in range(0, R - reso, reso):
+            for y in range(0, R - reso, reso):
+                for z in range(0, R - reso, reso):
+                    if not dirty[x + reso // 2, y + reso // 2, z + reso // 2]:
+                        continue
+                    for sdf in (sdf_hr, sdf_lr):
+                        v = sdf[x:x + reso + 1:reso, y:y + reso + 1:reso,
+                                z:z + reso + 1:reso].reshape(-1)
+                        if v.max() - v.min() < threshold:
+                            sdf[x:x + reso, y:y + reso, z:z + reso] = \
+                                (v.max() + v.min()) / 2
+                            dirty[x:x + reso, y:y + reso, z:z + reso] = False
+        reso //= 2
+    return sdf_hr, sdf_lr
+
+
+def binary_sphere_eval(points):
+    """Fake occupancy oracle: hr sphere r=0.35, lr sphere r=0.30."""
+    r = np.linalg.norm(np.asarray(points), axis=0)
+    return ((r < 0.35).astype(np.float32), (r < 0.30).astype(np.float32))
+
+
+def binary_sphere_eval_jax(points):
+    r = jnp.linalg.norm(points, axis=0)
+    return ((r < 0.35).astype(jnp.float32), (r < 0.30).astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+def test_create_grid_matches_reference_math():
+    coords, mat = create_grid(8, 8, 8, np.array([-1., -1., -1.]),
+                              np.array([1., 1., 1.]))
+    assert coords.shape == (3, 8, 8, 8)
+    np.testing.assert_allclose(coords[:, 0, 0, 0], [-1, -1, -1])
+    # step = length/res (note: grid spans [b_min, b_max) like the reference)
+    np.testing.assert_allclose(coords[:, 1, 0, 0], [-0.75, -1, -1])
+    np.testing.assert_allclose(mat[0, 0], 0.25)
+
+
+def test_flat_index_to_world_matches_create_grid():
+    R = 8
+    b_min, b_max = np.array([-1.0, -2.0, 0.0]), np.array([1.0, 2.0, 4.0])
+    coords, mat = create_grid(R, R, R, b_min, b_max)
+    idx = jnp.arange(R ** 3, dtype=jnp.int32)
+    pts = np.asarray(flat_index_to_world(idx, R, 1, mat))
+    np.testing.assert_allclose(pts.reshape(3, R, R, R), coords, rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_octree_matches_reference_oracle():
+    R, init_res, thr = 32, 8, 0.05
+    b = np.array([-0.5, -0.5, -0.5]), np.array([0.5, 0.5, 0.5])
+    mat = grid_matrix((R, R, R), *b)
+    ref_hr, ref_lr = oracle_octree(binary_sphere_eval, R, mat, thr, init_res)
+    got_hr, got_lr = eval_grid_octree(binary_sphere_eval_jax, R, mat, thr,
+                                      init_resolution=init_res,
+                                      num_samples=1000)
+    np.testing.assert_allclose(np.asarray(got_hr), ref_hr, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_lr), ref_lr, atol=1e-6)
+
+
+def test_octree_matches_dense_on_smooth_field():
+    R, thr = 32, 0.05
+    mat = grid_matrix((R, R, R), np.array([-0.5] * 3), np.array([0.5] * 3))
+
+    def smooth(points):
+        r = jnp.linalg.norm(points, axis=0)
+        v = jnp.clip(1.0 - r / 0.4, 0.0, 1.0)
+        return v, v * 0.9
+
+    dense_hr, dense_lr = eval_grid_dense(smooth, R, mat, num_samples=977)
+    oct_hr, oct_lr = eval_grid_octree(smooth, R, mat, thr,
+                                      init_resolution=8, num_samples=977)
+    # pruned cells are filled with (max+min)/2 of corners whose spread is
+    # < threshold -> bounded deviation from the dense field
+    assert np.abs(np.asarray(oct_hr) - np.asarray(dense_hr)).max() < thr
+    assert np.abs(np.asarray(oct_lr) - np.asarray(dense_lr)).max() < thr
+
+
+def test_dense_eval_uneven_chunks():
+    R = 8
+    mat = grid_matrix((R, R, R), np.array([-1.0] * 3), np.array([1.0] * 3))
+    hr, lr = eval_grid_dense(binary_sphere_eval_jax, R, mat, num_samples=100)
+    exp_hr, exp_lr = binary_sphere_eval(
+        np.asarray(flat_index_to_world(jnp.arange(R ** 3, dtype=jnp.int32),
+                                       R, 1, mat)))
+    np.testing.assert_allclose(np.asarray(hr).reshape(-1), exp_hr)
+    np.testing.assert_allclose(np.asarray(lr).reshape(-1), exp_lr)
+
+
+# ---------------------------------------------------------------------------
+def sphere_volume(R=24, radius=8.0):
+    g = np.mgrid[:R, :R, :R].astype(np.float64) - (R - 1) / 2
+    return (radius - np.sqrt((g ** 2).sum(axis=0))).astype(np.float32)
+
+
+def test_marching_tetrahedra_sphere_geometry():
+    R, radius = 24, 8.0
+    verts, faces = mt_numpy(sphere_volume(R, radius), 0.0)
+    assert verts.shape[0] > 100 and faces.shape[0] > 100
+    r = np.linalg.norm(verts - (R - 1) / 2, axis=1)
+    # all vertices lie close to the true sphere (linear interp error)
+    assert np.abs(r - radius).max() < 0.15
+    # watertight: every edge is shared by exactly two faces
+    edges = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
+                            faces[:, [2, 0]]])
+    keys = edges.min(1).astype(np.int64) * 10 ** 9 + edges.max(1)
+    _, counts = np.unique(keys, return_counts=True)
+    assert (counts == 2).all()
+
+
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_matches_numpy_backend():
+    vol = sphere_volume(16, 5.0)
+    v_np, f_np = mt_numpy(vol, 0.0)
+    v_na, f_na = native.marching_tetrahedra(vol, 0.0)
+    assert v_np.shape == v_na.shape and f_np.shape == f_na.shape
+    # same vertex set (ordering differs)
+    s_np = np.asarray(sorted(map(tuple, np.round(v_np, 4))))
+    s_na = np.asarray(sorted(map(tuple, np.round(v_na, 4))))
+    np.testing.assert_allclose(s_np, s_na, atol=1e-4)
+
+
+def test_obj_roundtrip(tmp_path):
+    verts = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
+    faces = np.array([[0, 1, 2]])
+    p = str(tmp_path / "tri.obj")
+    save_obj_mesh(p, verts, faces)
+    txt = open(p).read().splitlines()
+    assert txt[0] == "v 0.0000 0.0000 0.0000"
+    assert txt[3] == "f 1 3 2"  # reference winding swap (mesh_util.py:60)
+    v2, f2 = load_obj(p)
+    np.testing.assert_allclose(v2, verts, atol=1e-4)
+    # winding swap is undone by the swap-aware reader? No: loader returns
+    # faces as stored; verify vertex identity only, plus triangle count.
+    assert f2.shape == (1, 3)
+
+
+def test_ply_header_format(tmp_path):
+    p = str(tmp_path / "s.ply")
+    pts = np.zeros((4, 3))
+    prob = np.array([0.9, 0.1, 0.6, 0.2])
+    save_samples_truncted_prob(p, pts, prob)
+    lines = open(p).read().splitlines()
+    assert lines[0] == "ply"
+    assert lines[2] == "element vertex 4"
+    assert lines[-5].endswith("end_header")
+    assert lines[-4].split()[3:] == ["255", "0", "0"]  # red = inside
+
+
+def test_pipeline_end_to_end_tiny(tmp_path):
+    """Full gen_mesh on a tiny random-weight SuRSNet."""
+    import jax
+    from surs_tpu.models import SuRSNet
+    from surs_tpu.recon import gen_mesh
+    from surs_tpu.config import SuRSConfig
+
+    cfg = SuRSConfig(loadSize=32, resolution=16, num_samples=512,
+                     octree_init_resolution=8,
+                     b_min=[-0.5, -0.5, -0.5], b_max=[0.5, 0.5, 0.5])
+    model = SuRSNet(load_size=32, num_stack_lr=2)
+    S = 16
+    rng0 = np.random.default_rng(0)
+    img = jnp.asarray(rng0.standard_normal((1, S, S, 3)).astype(np.float32))
+    img_hr = jnp.asarray(
+        rng0.standard_normal((1, 2 * S, 2 * S, 3)).astype(np.float32))
+    pts0 = jnp.asarray((rng0.random((1, 3, 4)) - 0.5).astype(np.float32))
+    calib0 = jnp.asarray(
+        np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32))[None]
+    variables = model.init(jax.random.PRNGKey(0), img, img_hr, pts0, pts0,
+                           calib0, train=True)
+    data = {"img_LR": img, "b_min": np.array(cfg.b_min),
+            "b_max": np.array(cfg.b_max)}
+    path = str(tmp_path / "subject.obj")
+    p_hr, p_lr = gen_mesh(cfg, model, variables["params"], data, path)
+    assert os.path.exists(p_hr) and os.path.exists(p_lr)
