@@ -1,0 +1,59 @@
+#!/usr/bin/env python
+"""Evaluate SuRS-TPU: one OBJ pair per test image.
+
+CLI-compatible with the reference's ``apps/eval_SuRS.py``:
+
+  python apps/eval_surs.py --dataroot <dir with image_final/mask_final> \
+      --name exp --load_netG_checkpoint_path <ckpt> --resolution 512 \
+      --num_samples 50000 --threshold 0.05
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+    from surs_tpu.config import parse_config, print_config
+    from surs_tpu.data import EvalDataset
+    from surs_tpu.models import SuRSNet, surs_net_from_config
+    from surs_tpu.ops.fused_mlp import prepare_fused_weights
+    from surs_tpu.ops.point_query import make_fused_query_fn
+    from surs_tpu.recon import gen_mesh
+    from surs_tpu.train import (make_optimizer, create_train_state,
+                                CheckpointManager)
+    from surs_tpu.compat.torch_import import load_params
+
+    cfg = parse_config()
+    print(print_config(cfg))
+
+    dataset = EvalDataset(cfg, phase="test")
+    print("test data size:", len(dataset))
+
+    model = surs_net_from_config(cfg)
+    params = load_params(cfg, model)
+
+    query_fn = None
+    if cfg.use_pallas and jax.default_backend() != "cpu":
+        fw = prepare_fused_weights(
+            params["mlp_lr"], params["mlp_hr"], cfg.mlp_dim_lr,
+            cfg.mlp_dim_hr, cfg.mlp_res_layers_lr, cfg.mlp_res_layers_hr)
+        query_fn = make_fused_query_fn(fw, cfg.loadSize, cfg.z_size)
+
+    out_dir = os.path.join(cfg.results_path, cfg.name)
+    os.makedirs(out_dir, exist_ok=True)
+    print("generate mesh (test) ...")
+    for idx in range(len(dataset)):
+        data = dataset[idx]
+        save_path = os.path.join(out_dir, f"{data['name']}.obj")
+        gen_mesh(cfg, model, params, data, save_path, query_fn=query_fn)
+        print("saved", save_path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,124 @@
+"""Benchmark: occupancy-query throughput + end-to-end mesh time.
+
+Runs the flagship SuRSNet (reference default config: 3 LR hourglass
+stacks, residual SR branch, 512 loadSize) with random weights on the
+available accelerator, and measures:
+
+  * occupancy queries/sec — fused Pallas point-query path (projection +
+    pixel-aligned gather + dual 5-layer MLP) on 50k-point chunks, the
+    hot loop of 512^3 reconstruction;
+  * sec/mesh — full single-image reconstruction at the configured
+    resolution (octree evaluation + marching tetrahedra + OBJ write).
+
+Prints ONE JSON line. vs_baseline compares against the reference
+-architecture PyTorch-CPU implementation of the same query chunk
+(measured on this host; see BASELINE.md for the procedure and numbers).
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+# Measured reference-architecture PyTorch-CPU query throughput on this
+# host (BASELINE.md): queries/sec for the identical (grid_sample x2 +
+# dual 5-layer MLP) chunk evaluation.
+BASELINE_QPS = float(os.environ.get("SURS_BASELINE_QPS", "14000"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from surs_tpu.config import SuRSConfig
+    from surs_tpu.models import SuRSNet, surs_net_from_config
+    from surs_tpu.ops.fused_mlp import prepare_fused_weights
+    from surs_tpu.ops.point_query import make_fused_query_fn
+    from surs_tpu.recon import gen_mesh
+
+    backend = jax.default_backend()
+    on_tpu = backend not in ("cpu",)
+
+    if on_tpu:
+        cfg = SuRSConfig(loadSize=512, residual=True, resolution=256,
+                         num_samples=50000,
+                         b_min=[-0.5, -0.5, -0.5], b_max=[0.5, 0.5, 0.5])
+        S = cfg.loadSize // 2           # 256^2 LR input
+        n_query = 1 << 21               # ~2.1M points for the qps timing
+    else:                               # smoke mode for CPU-only runs
+        cfg = SuRSConfig(loadSize=64, residual=True, resolution=64,
+                         num_samples=4096, octree_init_resolution=16,
+                         b_min=[-0.5, -0.5, -0.5], b_max=[0.5, 0.5, 0.5])
+        S = cfg.loadSize // 2
+        n_query = 1 << 14
+
+    model = surs_net_from_config(cfg)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((1, S, S, 3)).astype(np.float32))
+
+    t0 = time.time()
+    enc = jax.jit(lambda p, x: model.apply({"params": p}, x, train=False,
+                                           method=SuRSNet.encode))
+    # init only the encode path params lazily via full init on tiny points
+    pts0 = jnp.asarray((rng.random((1, 3, 8)) - 0.5).astype(np.float32))
+    calib = jnp.asarray(np.diag([2.0, -2.0, 2.0, 1.0]).astype(
+        np.float32))[None]
+    img_hr0 = jnp.asarray(rng.standard_normal(
+        (1, 2 * S, 2 * S, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), img, img_hr0, pts0, pts0,
+                        calib, train=True)["params"]
+    _, feats_lr, feat_hr = jax.block_until_ready(enc(params, img))
+    t_encode = time.time() - t0
+
+    fw = prepare_fused_weights(params["mlp_lr"], params["mlp_hr"],
+                               cfg.mlp_dim_lr, cfg.mlp_dim_hr,
+                               cfg.mlp_res_layers_lr, cfg.mlp_res_layers_hr)
+    query_fn = make_fused_query_fn(fw, cfg.loadSize, cfg.z_size,
+                                   use_pallas=on_tpu)
+
+    # ---- queries/sec on 50k chunks ----
+    chunk = cfg.num_samples
+    pts = jnp.asarray((rng.random((1, 3, chunk)) - 0.5).astype(np.float32))
+
+    @jax.jit
+    def q(p):
+        return query_fn(None, feats_lr, feat_hr, p, calib)
+
+    jax.block_until_ready(q(pts))  # compile
+    n_iters = max(1, n_query // chunk)
+    t0 = time.time()
+    for _ in range(n_iters):
+        out = q(pts)
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+    qps = n_iters * chunk / dt
+
+    # ---- end-to-end mesh ----
+    data = {"img_LR": img, "b_min": np.asarray(cfg.b_min),
+            "b_max": np.asarray(cfg.b_max)}
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.time()
+        gen_mesh(cfg, model, params, data,
+                 os.path.join(td, "bench.obj"), query_fn=query_fn)
+        t_mesh = time.time() - t0
+
+    result = {
+        "metric": "occupancy_queries_per_sec",
+        "value": round(qps, 1),
+        "unit": "queries/s",
+        "vs_baseline": round(qps / BASELINE_QPS, 2),
+        "extras": {
+            "backend": backend,
+            "sec_per_mesh": round(t_mesh, 3),
+            "resolution": cfg.resolution,
+            "encode_sec_first_call": round(t_encode, 3),
+            "chunk": chunk,
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

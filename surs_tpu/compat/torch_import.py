@@ -1,0 +1,224 @@
+"""PyTorch state-dict import shim.
+
+The reference ships/loads flat ``torch.save(netG.state_dict())``
+checkpoints (apps/eval_SuRS.py:55-64). This module maps those names onto
+the SuRS-TPU Flax param tree so reference-trained weights drop in:
+
+  * Conv2d [out,in,kh,kw]  -> kernel [kh,kw,in,out]
+  * Conv1d [out,in,1]      -> Dense kernel [in,out]
+  * GroupNorm weight/bias  -> gn scale/bias
+  * BatchNorm              -> bn scale/bias (+ batch_stats mean/var)
+
+Parameters the reference constructs but never uses — HGFilter's
+conv1/bn1/conv3/conv4 stems and per-stack down convs
+(lib/model/HGFilters.py:133-152), SuRSSR's MeanShift buffers
+(lib/model/SuRSSR_v3.py:39-40), and the duplicated ``downsample.0``
+aliases of ConvBlock's bn4 — are deliberately dropped (SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+# state-dict keys that exist in reference checkpoints but have no live
+# consumer in the forward pass
+_DROP_PATTERNS = [
+    r"^image_filter_hr\.(conv1|bn1|conv2|conv3|conv4|down_conv2)\.",
+    r"^image_filter_lr\.(conv1|bn1|conv3|conv4|down_conv2)\.",
+    r"^super_resolution\.(sub_mean|add_mean)\.",
+    r"\.downsample\.0\.",   # alias of bn4 (same tensor, HGFilters.py:48-53)
+    r"^image_filter_hr\.(m\d+|top_m_\d+|conv_last\d+|bn_end\d+|l\d+|bl\d+"
+    r"|al\d+)\.",           # hr hourglass stacks are dead in 'high_res' mode
+]
+
+
+def _flax_path(torch_key: str) -> Optional[Tuple[str, ...]]:
+    """Map a reference state-dict key to a path in our param tree
+    (without the trailing leaf name), or None to drop."""
+    for pat in _DROP_PATTERNS:
+        if re.search(pat, torch_key):
+            return None
+    parts = torch_key.split(".")
+    mod = parts[0]
+
+    if mod in ("mlp_lr", "mlp_hr"):
+        # mlp_lr.conv0.weight
+        return (mod, parts[1])
+
+    if mod == "super_resolution":
+        sub = parts[1]
+        # Sequential index -> our module names
+        seq_idx = parts[2] if len(parts) > 3 else None
+        if sub in ("head", "down1", "down2", "down3", "bottleneck",
+                   "bott2", "ups2", "ups3", "ups4"):
+            return ("super_resolution", sub, "conv")
+        if sub.startswith("body"):
+            # body1.0.body.0.weight -> body1_0/conv0
+            blk = parts[2]
+            conv_idx = {"0": "conv0", "2": "conv1"}[parts[4]]
+            return ("super_resolution", f"{sub}_{blk}", conv_idx)
+        if sub.startswith("tail"):
+            # tail1.0 / tail1.2 -> tail1_0/conv, tail1_1/conv
+            name = {"0": f"{sub}_0", "2": f"{sub}_1"}[seq_idx]
+            return ("super_resolution", name, "conv")
+        if sub == "last":
+            if seq_idx == "0":
+                return ("super_resolution", "last_0", "conv")
+            return ("super_resolution", "last_1")
+        return None  # pixel_shuffle / upsample have no params
+
+    if mod in ("image_filter_lr", "image_filter_hr"):
+        sub = parts[1]
+        if sub == "conv5":
+            return (mod, "conv5")
+        if sub == "conv2":  # ConvBlock stem
+            return (mod, "conv2") + _convblock_path(parts[2:])
+        m = re.match(r"m(\d+)$", sub)
+        if m:  # hourglass: image_filter_lr.m0.b1_2.conv1.weight
+            return (mod, sub, parts[2]) + _convblock_path(parts[3:])
+        m = re.match(r"top_m_(\d+)$", sub)
+        if m:
+            return (mod, sub) + _convblock_path(parts[2:])
+        if re.match(r"(conv_last|l|bl|al)\d+$", sub):
+            return (mod, sub)
+        m = re.match(r"bn_end(\d+)$", sub)
+        if m:
+            return (mod, sub, _norm_leaf_dir(parts[-2:]))
+        return None
+
+    return None
+
+
+def _convblock_path(parts) -> Tuple[str, ...]:
+    """Path inside a ConvBlock: conv1..3, bn1..4, downsample.2."""
+    head = parts[0]
+    if head == "downsample":
+        return ("downsample_conv",)
+    if head.startswith("bn"):
+        return (head, _norm_leaf_dir(parts))
+    return (head,)
+
+
+def _norm_leaf_dir(parts) -> str:
+    """Norm layers live under 'gn' (group) or 'bn' (batch) submodules."""
+    return "gn"  # group norm is the operative config (lib/options.py:70)
+
+
+def _convert_leaf(torch_key: str, tensor: np.ndarray):
+    """(leaf_name, value) for a state-dict entry."""
+    leaf = torch_key.split(".")[-1]
+    arr = np.asarray(tensor)
+    if leaf == "weight":
+        if arr.ndim == 4:       # Conv2d
+            return "kernel", arr.transpose(2, 3, 1, 0)
+        if arr.ndim == 3:       # Conv1d (1x1) -> Dense
+            return "kernel", arr[:, :, 0].T
+        return "scale", arr     # norm weight
+    if leaf == "bias":
+        return "bias", arr
+    if leaf == "running_mean":
+        return "mean", arr
+    if leaf == "running_var":
+        return "var", arr
+    return None, None           # num_batches_tracked etc.
+
+
+def import_torch_state_dict(state_dict: Dict[str, np.ndarray],
+                            params, strict: bool = True):
+    """Merge a reference state dict into a Flax param tree (returns a new
+    tree). ``state_dict`` values may be torch tensors or numpy arrays."""
+    flat = {}
+    for key, val in state_dict.items():
+        path = _flax_path(key)
+        if path is None:
+            continue
+        if hasattr(val, "detach"):
+            val = val.detach().cpu().numpy()
+        leaf, arr = _convert_leaf(key, val)
+        if leaf is None:
+            continue
+        flat[path + (leaf,)] = arr
+
+    def assign(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            if p not in node:
+                if strict:
+                    raise KeyError(f"no module {'/'.join(path)} in params")
+                return False
+            node = node[p]
+        if path[-1] not in node:
+            if strict:
+                raise KeyError(f"no leaf {'/'.join(path)} in params")
+            return False
+        expected = node[path[-1]]
+        if expected.shape != value.shape:
+            raise ValueError(
+                f"shape mismatch at {'/'.join(path)}: "
+                f"{expected.shape} vs {value.shape}")
+        node[path[-1]] = jnp.asarray(value, dtype=expected.dtype)
+        return True
+
+    import copy
+    import flax
+    mutable = copy.deepcopy(flax.core.unfreeze(params))
+    n = 0
+    for path, val in flat.items():
+        if assign(mutable, path, val):
+            n += 1
+    return mutable, n
+
+
+def load_torch_checkpoint(path: str, params, strict: bool = True):
+    """Load a torch.save()'d state dict file and merge it."""
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return import_torch_state_dict(sd, params, strict=strict)
+
+
+def load_params(cfg, model):
+    """Resolve params for eval: orbax train-state dir, torch checkpoint
+    file, or random init (in that order)."""
+    import os
+    from ..train.optim import make_optimizer
+    from ..train.step import create_train_state
+    from ..train.checkpoint import CheckpointManager
+    from ..models.surs_net import SuRSNet
+
+    rng = np.random.default_rng(cfg.seed)
+    S = cfg.loadSize // 2
+    sample = {
+        "images_lr": jnp.asarray(
+            rng.standard_normal((1, S, S, 3)).astype(np.float32)),
+        "images_hr": jnp.asarray(
+            rng.standard_normal((1, 2 * S, 2 * S, 3)).astype(np.float32)),
+        "points_lr": jnp.asarray(
+            (rng.random((1, 3, 8)) - 0.5).astype(np.float32)),
+        "points_hr": jnp.asarray(
+            (rng.random((1, 3, 8)) - 0.5).astype(np.float32)),
+        "calibs": jnp.asarray(
+            np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32))[None],
+    }
+    params = model.init(jax.random.PRNGKey(cfg.seed), **sample,
+                        train=True)["params"]
+
+    path = cfg.load_netG_checkpoint_path
+    if not path:
+        print("WARNING: no checkpoint given — using random init")
+        return params
+    if os.path.isdir(path):
+        optimizer = make_optimizer(cfg)
+        state = create_train_state(model, optimizer,
+                                   jax.random.PRNGKey(0), sample)
+        mgr = CheckpointManager(*os.path.split(os.path.abspath(path)))
+        state = mgr.restore(state, None) if path.endswith("netG_latest") \
+            else mgr.restore(state, None)
+        return state.params
+    params, n = load_torch_checkpoint(path, params, strict=False)
+    print(f"imported {n} tensors from torch checkpoint {path}")
+    return params

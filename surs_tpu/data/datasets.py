@@ -1,0 +1,179 @@
+"""Datasets: THuman-style training set and real-image eval set.
+
+Re-design of ``TrainDataset_LR_v2`` (lib/data/TrainDataset_LR_v2.py:129)
+and ``EvalDataset_LR_v2`` (lib/data/EvalDataset_LR_v2.py:129). Same
+directory contracts:
+
+  train: dataroot/{RENDER,MASK,PARAM}/<subject>/<yaw>_<pitch>_00.{jpg,png,npy},
+         dataroot/GEO/OBJ/<subject>_{HR,LR}.obj, dataroot/val.txt
+  eval:  dataroot/{image_final,mask_final}/<name>.{jpg,png}
+
+Items are numpy dicts with NHWC images. Each __getitem__ draws its own
+np.random.Generator (seeded 1991 for eval determinism, matching
+lib/data/TrainDataset_LR_v2.py:358-361). Meshes are loaded lazily and
+LRU-cached instead of the reference's load-everything-into-RAM
+(lib/data/TrainDataset_LR_v2.py:95-102,177).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..recon.mesh_io import load_obj
+from .calib import calib_from_param, sample_aug_params, AugParams
+from .image import load_render_mask, process_render
+from .sampling import MeshData, sample_points_and_labels
+
+
+class TrainDataset:
+    def __init__(self, cfg, phase: str = "train", mesh_cache: int = 8,
+                 contains_fn=None):
+        self.cfg = cfg
+        self.is_train = phase == "train"
+        self.root = cfg.dataroot
+        self.RENDER = os.path.join(self.root, "RENDER")
+        self.MASK = os.path.join(self.root, "MASK")
+        self.PARAM = os.path.join(self.root, "PARAM")
+        self.OBJ = os.path.join(self.root, "GEO", "OBJ")
+        self.projection_mode = "orthogonal"
+        self.B_MIN = np.asarray(cfg.b_min, dtype=float)
+        self.B_MAX = np.asarray(cfg.b_max, dtype=float)
+        self.yaw_list = list(range(0, 360, 1))
+        self.pitch_list = [0]
+        self.subjects = self._get_subjects()
+        self._mesh_cache: OrderedDict = OrderedDict()
+        self._mesh_cache_size = mesh_cache
+        self._contains_fn = contains_fn
+
+    def _get_subjects(self):
+        all_subjects = os.listdir(self.RENDER)
+        val_path = os.path.join(self.root, "val.txt")
+        var_subjects = (np.loadtxt(val_path, dtype=str).reshape(-1).tolist()
+                        if os.path.exists(val_path) else [])
+        if not var_subjects:
+            return sorted(all_subjects)
+        if self.is_train:
+            return sorted(set(all_subjects) - set(var_subjects))
+        return sorted(var_subjects)
+
+    def __len__(self):
+        return len(self.subjects) * len(self.yaw_list) * len(self.pitch_list)
+
+    def _mesh(self, name: str) -> MeshData:
+        if name not in self._mesh_cache:
+            verts, faces = load_obj(os.path.join(self.OBJ, name))
+            self._mesh_cache[name] = MeshData(verts, faces)
+            while len(self._mesh_cache) > self._mesh_cache_size:
+                self._mesh_cache.popitem(last=False)
+        self._mesh_cache.move_to_end(name)
+        return self._mesh_cache[name]
+
+    def _find(self, folder: str, subject: str, vid: int, pitch: int,
+              exts=("jpg", "png")) -> str:
+        for ext in exts:
+            p = os.path.join(folder, subject,
+                             f"{vid}_{pitch}_00.{ext}")
+            if os.path.isfile(p):
+                return p
+        raise FileNotFoundError(f"{folder}/{subject}/{vid}_{pitch}_00")
+
+    def get_item(self, index: int,
+                 rng: Optional[np.random.Generator] = None) -> Dict:
+        if rng is None or not self.is_train:
+            rng = np.random.default_rng(
+                None if self.is_train else self.cfg.seed)
+        sid = index % len(self.subjects)
+        tmp = index // len(self.subjects)
+        yid = tmp % len(self.yaw_list)
+        pid = tmp // len(self.yaw_list)
+        subject = os.path.splitext(self.subjects[sid])[0]
+        vid = self.yaw_list[yid]
+        pitch = self.pitch_list[pid]
+
+        param = np.load(os.path.join(self.PARAM, subject,
+                                     f"{vid}_{pitch}_00.npy"),
+                        allow_pickle=True).item()
+        render, mask = load_render_mask(
+            self._find(self.RENDER, subject, vid, pitch),
+            self._find(self.MASK, subject, vid, pitch,
+                       exts=("png", "jpg")))
+
+        S = self.cfg.loadSize
+        if self.is_train:
+            pad = int(0.1 * S)
+            aug = sample_aug_params(rng, render.size[0] + 2 * pad,
+                                    render.size[1] + 2 * pad, S,
+                                    self.cfg.random_flip,
+                                    self.cfg.random_scale,
+                                    self.cfg.random_trans)
+        else:
+            aug = AugParams()
+        calib, extrinsic = calib_from_param(param, S, aug)
+
+        img_hr, img_lr, mask_hr, mask_lr = process_render(
+            render, mask, S, self.is_train, aug, rng,
+            self.cfg.aug_bri, self.cfg.aug_con, self.cfg.aug_sat,
+            self.cfg.aug_hue, self.cfg.aug_blur)
+
+        item = {
+            "name": subject,
+            "sid": sid, "yid": yid, "pid": pid,
+            "b_min": self.B_MIN, "b_max": self.B_MAX,
+            "img_HR": img_hr, "img_LR": img_lr,
+            "mask_HR": mask_hr, "mask_LR": mask_lr,
+            "calib": calib, "extrinsic": extrinsic,
+        }
+        if self.cfg.num_sample_inout:
+            mesh_hr = self._mesh(subject + "_HR.obj")
+            mesh_lr = self._mesh(subject + "_LR.obj")
+            item.update(sample_points_and_labels(
+                mesh_hr, mesh_lr, self.cfg.num_sample_inout,
+                self.cfg.sigma, self.B_MIN, self.B_MAX, rng,
+                contains_fn=self._contains_fn))
+        return item
+
+    def __getitem__(self, index):
+        return self.get_item(index)
+
+
+class EvalDataset:
+    """Real-image eval set: masked LR tensor only, fixed ortho calib
+    (lib/data/EvalDataset_LR_v2.py:221-254)."""
+
+    def __init__(self, cfg, phase: str = "test"):
+        self.cfg = cfg
+        self.root = cfg.dataroot
+        self.RENDER = os.path.join(self.root, "image_final")
+        self.MASK = os.path.join(self.root, "mask_final")
+        self.projection_mode = "orthogonal"
+        self.B_MIN = np.asarray(cfg.b_min, dtype=float)
+        self.B_MAX = np.asarray(cfg.b_max, dtype=float)
+        self.subjects = sorted(os.listdir(self.RENDER))
+
+    def __len__(self):
+        return len(self.subjects)
+
+    def __getitem__(self, index: int) -> Dict:
+        name = os.path.splitext(self.subjects[index])[0]
+
+        def find(folder, exts):
+            for ext in exts:
+                p = os.path.join(folder, f"{name}.{ext}")
+                if os.path.isfile(p):
+                    return p
+            raise FileNotFoundError(os.path.join(folder, name))
+
+        render, mask = load_render_mask(
+            find(self.RENDER, ("jpg", "png")), find(self.MASK,
+                                                    ("png", "jpg")))
+        arr = np.asarray(render, dtype=np.float32) / 255.0
+        arr = (arr - 0.5) / 0.5
+        m = (np.asarray(mask, dtype=np.float32) / 255.0)[..., None]
+        img_lr = (arr * m)[None]                     # [1, H, W, 3]
+        calib = np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32)[None]
+        return {"name": name, "img_LR": img_lr, "calib": calib,
+                "b_min": self.B_MIN, "b_max": self.B_MAX}

@@ -1,0 +1,115 @@
+"""Training point sampling + occupancy / displacement labels.
+
+Re-design of the reference's ``select_sampling_method``
+(lib/data/TrainDataset_LR_v2.py:357-438):
+
+  * 4N surface points on the HR mesh + N(0, sigma) jitter, plus N/4
+    uniform bbox points, shuffled;
+  * inside/outside classification against both the HR and LR meshes —
+    here via the TPU winding-number op (ops/containment.py) instead of
+    trimesh+pyembree;
+  * truncation to N/2 inside + N/2 outside per mesh;
+  * displacement labels: the HR occupancy evaluated at the LR-sampled
+    points. (The reference builds these with an O(N^2) membership loop
+    whose index range is the LR-inside count (lib/data/
+    TrainDataset_LR_v2.py:403-419); the construction below is the exact
+    intended labeling, computed in O(N) and aligned with the samples for
+    any inside/outside split.)
+
+Deterministic eval sampling uses the reference's fixed seed 1991
+(lib/data/TrainDataset_LR_v2.py:358-361).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from ..ops.containment import contains
+
+
+@dataclass
+class MeshData:
+    verts: np.ndarray   # [V, 3] float32
+    faces: np.ndarray   # [F, 3] int64
+
+    _face_areas: Optional[np.ndarray] = None
+
+    def face_areas(self) -> np.ndarray:
+        if self._face_areas is None:
+            tri = self.verts[self.faces]
+            self._face_areas = 0.5 * np.linalg.norm(
+                np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0]),
+                axis=1)
+        return self._face_areas
+
+
+def sample_surface(mesh: MeshData, n: int,
+                   rng: np.random.Generator) -> np.ndarray:
+    """Area-weighted uniform surface sampling (trimesh.sample.sample_surface
+    equivalent)."""
+    areas = mesh.face_areas()
+    probs = areas / areas.sum()
+    fidx = rng.choice(len(probs), size=n, p=probs)
+    tri = mesh.verts[mesh.faces[fidx]]          # [n, 3, 3]
+    # uniform barycentric via sqrt trick
+    r1 = np.sqrt(rng.random(n))
+    r2 = rng.random(n)
+    w0 = 1.0 - r1
+    w1 = r1 * (1.0 - r2)
+    w2 = r1 * r2
+    return (w0[:, None] * tri[:, 0] + w1[:, None] * tri[:, 1]
+            + w2[:, None] * tri[:, 2]).astype(np.float64)
+
+
+def sample_points_and_labels(
+        mesh_hr: MeshData, mesh_lr: MeshData, num_sample_inout: int,
+        sigma: float, b_min: np.ndarray, b_max: np.ndarray,
+        rng: np.random.Generator,
+        contains_fn: Callable = None) -> Dict[str, np.ndarray]:
+    """Returns samples_HR/samples_LR [3, N], labels_HR/labels_disp [1, N]."""
+    if contains_fn is None:
+        contains_fn = lambda pts, m: contains(pts, m.verts, m.faces)
+    N = num_sample_inout
+
+    surface = sample_surface(mesh_hr, 4 * N, rng)
+    pts = surface + rng.normal(scale=sigma, size=surface.shape)
+    length = np.asarray(b_max, float) - np.asarray(b_min, float)
+    uniform = rng.random((N // 4, 3)) * length + np.asarray(b_min, float)
+    pts = np.concatenate([pts, uniform], axis=0)
+    rng.shuffle(pts)
+
+    inside_hr = np.asarray(contains_fn(pts, mesh_hr))
+    inside_lr = np.asarray(contains_fn(pts, mesh_lr))
+
+    all_idx = np.arange(pts.shape[0])
+
+    def split_truncate(inside_mask):
+        ins = all_idx[inside_mask]
+        outs = all_idx[~inside_mask]
+        nin = ins.shape[0]
+        if nin > N // 2:
+            return ins[:N // 2], outs[:N // 2]
+        return ins, outs[:N - nin]
+
+    ins_hr, outs_hr = split_truncate(inside_hr)
+    ins_lr, outs_lr = split_truncate(inside_lr)
+
+    idx_hr = np.concatenate([ins_hr, outs_hr])
+    idx_lr = np.concatenate([ins_lr, outs_lr])
+    samples_hr = pts[idx_hr].T
+    samples_lr = pts[idx_lr].T
+    labels_hr = np.concatenate(
+        [np.ones((1, ins_hr.shape[0])), np.zeros((1, outs_hr.shape[0]))],
+        axis=1)
+    # displacement labels = HR occupancy at the LR-ordered samples
+    labels_disp = inside_hr[idx_lr].astype(np.float64)[None, :]
+
+    return {
+        "samples_HR": samples_hr.astype(np.float32),
+        "samples_LR": samples_lr.astype(np.float32),
+        "labels_HR": labels_hr.astype(np.float32),
+        "labels_disp": labels_disp.astype(np.float32),
+    }

@@ -1,0 +1,139 @@
+"""Training loop driver.
+
+Re-design of ``apps/train_SuRS.py:27-221``: dataset/loader construction,
+optimizer selection, resume logic (including the reference's inverted
+``continue_train==0`` convention, apps/train_SuRS.py:87-93), the
+per-iteration loss/ETA log line, periodic checkpoint + PLY dumps, the
+epoch-end LR step decay, and per-epoch test/train mesh generation.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import SuRSConfig
+from ..data import TrainDataset, DataLoader
+from ..models import SuRSNet, surs_net_from_config
+from ..recon import gen_mesh, save_samples_truncted_prob
+from .optim import make_optimizer, lr_for_epoch, set_learning_rate
+from .step import create_train_state, make_train_step
+from .checkpoint import CheckpointManager
+
+
+def batch_to_device(batch: Dict) -> Dict[str, jnp.ndarray]:
+    """Map dataset keys -> model kwargs, labels to [B, N, 1]."""
+    return {
+        "images_lr": jnp.asarray(batch["img_LR"]),
+        "images_hr": jnp.asarray(batch["img_HR"]),
+        "points_lr": jnp.asarray(batch["samples_LR"]),
+        "points_hr": jnp.asarray(batch["samples_HR"]),
+        "calibs": jnp.asarray(batch["calib"]),
+        "labels_lr": jnp.asarray(
+            np.swapaxes(batch["labels_disp"], 1, 2)),
+        "labels_hr": jnp.asarray(np.swapaxes(batch["labels_HR"], 1, 2)),
+    }
+
+
+def train(cfg: SuRSConfig, max_iters: Optional[int] = None) -> None:
+    train_dataset = TrainDataset(cfg, phase="train")
+    test_dataset = TrainDataset(cfg, phase="test")
+    loader = DataLoader(train_dataset, batch_size=cfg.batch_size,
+                        shuffle=not cfg.serial_batches,
+                        num_threads=cfg.num_threads, seed=cfg.seed)
+    print("train data size:", len(loader))
+
+    model = surs_net_from_config(cfg)
+    optimizer = make_optimizer(cfg)
+
+    from ..data.loader import collate
+    init_batch = batch_to_device(collate([train_dataset[0]]))
+    state = create_train_state(model, optimizer, jax.random.PRNGKey(cfg.seed),
+                               init_batch)
+    step_fn = make_train_step(model, optimizer)
+
+    ckpt = CheckpointManager(cfg.checkpoints_path, cfg.name)
+    start_epoch = 0
+    if cfg.load_netG_checkpoint_path:
+        mgr = CheckpointManager(*os.path.split(
+            os.path.abspath(cfg.load_netG_checkpoint_path)))
+        state = mgr.restore(state, None)
+    if cfg.continue_train == 0:  # reference quirk: 0 means resume
+        epoch = None if cfg.resume_epoch < 0 else cfg.resume_epoch
+        state = ckpt.restore(state, epoch)
+        start_epoch = max(cfg.resume_epoch, 0)
+
+    os.makedirs(os.path.join(cfg.results_path, cfg.name), exist_ok=True)
+
+    lr = cfg.learning_rate
+    iters_done = 0
+    for epoch in range(start_epoch, cfg.num_epoch):
+        epoch_start = time.time()
+        new_lr = lr_for_epoch(cfg.learning_rate, epoch, cfg.schedule,
+                              cfg.gamma)
+        if new_lr != lr:
+            lr = new_lr
+            state = state.replace(
+                opt_state=set_learning_rate(state.opt_state, lr))
+        iter_data_t = time.time()
+        for idx, raw in enumerate(loader):
+            iter_start = time.time()
+            batch = batch_to_device(raw)
+            state, metrics = step_fn(state, batch)
+            err = float(metrics["total"])
+            iter_net = time.time()
+            if idx % cfg.freq_plot == 0:
+                eta = ((iter_net - epoch_start) / (idx + 1)) * len(loader) \
+                    - (iter_net - epoch_start)
+                print(f"Name: {cfg.name} | Epoch: {epoch} | {idx}/"
+                      f"{len(loader)} | Err: {err:.06f} | LR: {lr:.06f} | "
+                      f"Sigma: {cfg.sigma:.02f} | "
+                      f"dataT: {iter_start - iter_data_t:.05f} | "
+                      f"netT: {iter_net - iter_start:.05f} | "
+                      f"ETA: {int(eta // 60):02d}:{int(eta % 60):02d}")
+            if idx % cfg.freq_save == 0 and idx != 0:
+                ckpt.save(state, epoch)
+            if idx % cfg.freq_save_ply == 0:
+                base = os.path.join(cfg.results_path, cfg.name)
+                pts = np.asarray(batch["points_hr"][0]).T
+                save_samples_truncted_prob(
+                    os.path.join(base, f"{epoch}pred.ply"), pts,
+                    np.asarray(metrics["pred_hr"][0]))
+                save_samples_truncted_prob(
+                    os.path.join(base, f"{epoch}pred_gt.ply"), pts,
+                    np.asarray(batch["labels_hr"][0]))
+                save_samples_truncted_prob(
+                    os.path.join(base, f"{epoch}pred_lr.ply"),
+                    np.asarray(batch["points_lr"][0]).T,
+                    np.asarray(batch["labels_lr"][0]))
+            iter_data_t = time.time()
+            iters_done += 1
+            if max_iters is not None and iters_done >= max_iters:
+                ckpt.save(state, epoch)
+                return
+        ckpt.save(state, epoch)
+
+        if not cfg.no_gen_mesh:
+            print("generate mesh (test) ...")
+            for gen_idx in range(cfg.num_gen_mesh_test):
+                data = test_dataset[gen_idx]
+                data = {**data, "img_LR": data["img_LR"][None]}
+                save_path = os.path.join(
+                    cfg.results_path, cfg.name,
+                    f"test_eval_epoch{epoch}_{data['name']}.obj")
+                gen_mesh(cfg, model, state.params, data, save_path)
+            print("generate mesh (train) ...")
+            train_dataset.is_train = False
+            for gen_idx in range(cfg.num_gen_mesh_test):
+                data = train_dataset[gen_idx]
+                data = {**data, "img_LR": data["img_LR"][None]}
+                save_path = os.path.join(
+                    cfg.results_path, cfg.name,
+                    f"train_eval_epoch{epoch}_{data['name']}.obj")
+                gen_mesh(cfg, model, state.params, data, save_path)
+            train_dataset.is_train = True

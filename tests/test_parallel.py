@@ -1,0 +1,76 @@
+"""Multi-chip sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from surs_tpu.config import SuRSConfig
+from surs_tpu.models import SuRSNet
+from surs_tpu.parallel import (make_mesh, shard_batch, replicate_tree,
+                               batch_sharding, point_sharding)
+from surs_tpu.train import make_optimizer, create_train_state, \
+    make_train_step
+from tests.test_train import tiny_model, tiny_batch
+
+
+def test_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh(n_data=4, n_points=2)
+    assert mesh2.shape == {"data": 4, "points": 2}
+
+
+def test_data_parallel_train_step_matches_single(rng):
+    model = tiny_model()
+    cfg = SuRSConfig(learning_rate=1e-3)
+    opt = make_optimizer(cfg)
+    batch = tiny_batch(rng, B=8, N=8)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, opt, donate=False)
+
+    # single-device result
+    _, m_single = step(state, batch)
+
+    # data-parallel: batch sharded over 8 devices, params replicated
+    mesh = make_mesh(n_data=8, n_points=1)
+    sharded_batch = {k: jax.device_put(v, batch_sharding(mesh, v.ndim))
+                     for k, v in batch.items()}
+    sharded_state = replicate_tree(state, mesh)
+    new_state, m_shard = step(sharded_state, sharded_batch)
+
+    np.testing.assert_allclose(float(m_shard["total"]),
+                               float(m_single["total"]), rtol=1e-4)
+    # params stay replicated and finite after the update
+    leaf = jax.tree.leaves(new_state.params)[0]
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_point_sharded_query(rng):
+    """Query-point axis sharded over the mesh (SP analog)."""
+    model = tiny_model()
+    batch = tiny_batch(rng, B=1, N=4)
+    variables = model.init(jax.random.PRNGKey(0), batch["images_lr"],
+                           batch["images_hr"], batch["points_lr"],
+                           batch["points_hr"], batch["calibs"], train=True)
+    params = variables["params"]
+    _, feats_lr, feat_hr = model.apply({"params": params},
+                                       batch["images_lr"], train=False,
+                                       method=SuRSNet.encode)
+    pts = jnp.asarray((np.random.default_rng(7).random((1, 3, 64)) - 0.5)
+                      .astype(np.float32))
+    calib = batch["calibs"][:1]
+
+    def query(p):
+        return model.apply({"params": params}, feats_lr, feat_hr, p, calib,
+                           method=SuRSNet.query)
+
+    ref_hr, ref_lr = jax.jit(query)(pts)
+
+    mesh = make_mesh(n_data=1, n_points=8)
+    pts_sharded = jax.device_put(pts, point_sharding(mesh, 2, 3))
+    got_hr, got_lr = jax.jit(query)(pts_sharded)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=1e-4, atol=1e-5)

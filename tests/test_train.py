@@ -1,0 +1,106 @@
+"""Training-layer tests: optimizers, schedule, train step, checkpointing."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from surs_tpu.config import SuRSConfig
+from surs_tpu.models import SuRSNet
+from surs_tpu.train import (make_optimizer, lr_for_epoch, set_learning_rate,
+                            create_train_state, make_train_step,
+                            CheckpointManager)
+
+
+def tiny_model():
+    return SuRSNet(load_size=32, num_stack_lr=2)
+
+
+def tiny_batch(rng, B=2, N=16, S=16):
+    return {
+        "images_lr": jnp.asarray(
+            rng.standard_normal((B, S, S, 3)).astype(np.float32)),
+        "images_hr": jnp.asarray(
+            rng.standard_normal((B, 2 * S, 2 * S, 3)).astype(np.float32)),
+        "points_lr": jnp.asarray(
+            (rng.random((B, 3, N)) - 0.5).astype(np.float32)),
+        "points_hr": jnp.asarray(
+            (rng.random((B, 3, N)) - 0.5).astype(np.float32)),
+        "calibs": jnp.asarray(np.tile(
+            np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32),
+            (B, 1, 1))),
+        "labels_lr": jnp.asarray(
+            rng.integers(0, 2, (B, N, 1)).astype(np.float32)),
+        "labels_hr": jnp.asarray(
+            rng.integers(0, 2, (B, N, 1)).astype(np.float32)),
+    }
+
+
+@pytest.mark.parametrize("opt_name", ["SGD", "ADAM", "RMSprop", "AMSgrad"])
+def test_optimizer_factory(opt_name):
+    cfg = SuRSConfig(optimizer=opt_name, learning_rate=1e-3)
+    opt = make_optimizer(cfg)
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+    updates, _ = opt.update({"w": jnp.ones((3,))}, state, params)
+    assert jnp.all(jnp.isfinite(updates["w"]))
+
+
+def test_lr_schedule_matches_reference_semantics():
+    # decay applied at END of epochs 60, 80 (apps/train_SuRS.py:192)
+    assert lr_for_epoch(1.0, 0, [60, 80], 0.1) == 1.0
+    assert lr_for_epoch(1.0, 60, [60, 80], 0.1) == 1.0
+    assert lr_for_epoch(1.0, 61, [60, 80], 0.1) == pytest.approx(0.1)
+    assert lr_for_epoch(1.0, 80, [60, 80], 0.1) == pytest.approx(0.1)
+    assert lr_for_epoch(1.0, 81, [60, 80], 0.1) == pytest.approx(0.01)
+
+
+def test_train_step_decreases_loss(rng):
+    model = tiny_model()
+    cfg = SuRSConfig(learning_rate=1e-3)
+    opt = make_optimizer(cfg)
+    batch = tiny_batch(rng)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, opt, donate=False)
+    state, m0 = step(state, batch)
+    losses = [float(m0["total"])]
+    for _ in range(5):
+        state, m = step(state, batch)
+        losses.append(float(m["total"]))
+    assert losses[-1] < losses[0]
+    assert int(state.step) == 6
+
+
+def test_set_learning_rate_no_recompile(rng):
+    model = tiny_model()
+    cfg = SuRSConfig(learning_rate=1e-3)
+    opt = make_optimizer(cfg)
+    batch = tiny_batch(rng, B=1, N=4)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, opt, donate=False)
+    state, _ = step(state, batch)
+    state = state.replace(
+        opt_state=set_learning_rate(state.opt_state, 1e-4))
+    state, _ = step(state, batch)  # same compiled fn, new lr
+    assert float(state.opt_state.hyperparams["learning_rate"]) == \
+        pytest.approx(1e-4)
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    model = tiny_model()
+    cfg = SuRSConfig(learning_rate=1e-3)
+    opt = make_optimizer(cfg)
+    batch = tiny_batch(rng, B=1, N=4)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), batch)
+    step = make_train_step(model, opt, donate=False)
+    state, _ = step(state, batch)
+
+    mgr = CheckpointManager(str(tmp_path), "exp")
+    mgr.save(state, epoch=3)
+    assert mgr.exists(3) and mgr.exists(None)
+
+    restored = mgr.restore(state, epoch=3)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b),
+                 jax.tree.map(np.asarray, state.params),
+                 jax.tree.map(np.asarray, restored.params))
+    assert int(restored.step) == 1
