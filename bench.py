@@ -26,7 +26,7 @@ import numpy as np
 # Measured reference-architecture PyTorch-CPU query throughput on this
 # host (BASELINE.md): queries/sec for the identical (grid_sample x2 +
 # dual 5-layer MLP) chunk evaluation.
-BASELINE_QPS = float(os.environ.get("SURS_BASELINE_QPS", "14000"))
+BASELINE_QPS = float(os.environ.get("SURS_BASELINE_QPS", "15811"))
 
 
 def main():
