@@ -31,10 +31,15 @@ from .sampling import MeshData, sample_points_and_labels
 
 class TrainDataset:
     def __init__(self, cfg, phase: str = "train", mesh_cache: int = 8,
-                 contains_fn=None):
+                 contains_fn=None, sample_cache_dir: str = None):
         self.cfg = cfg
         self.is_train = phase == "train"
         self.root = cfg.dataroot
+        if sample_cache_dir is None:
+            default_cache = os.path.join(cfg.dataroot, "SAMPLE_CACHE")
+            sample_cache_dir = default_cache if os.path.isdir(
+                default_cache) else None
+        self.sample_cache_dir = sample_cache_dir
         self.RENDER = os.path.join(self.root, "RENDER")
         self.MASK = os.path.join(self.root, "MASK")
         self.PARAM = os.path.join(self.root, "PARAM")
@@ -128,13 +133,34 @@ class TrainDataset:
             "calib": calib, "extrinsic": extrinsic,
         }
         if self.cfg.num_sample_inout:
-            mesh_hr = self._mesh(subject + "_HR.obj")
-            mesh_lr = self._mesh(subject + "_LR.obj")
-            item.update(sample_points_and_labels(
-                mesh_hr, mesh_lr, self.cfg.num_sample_inout,
-                self.cfg.sigma, self.B_MIN, self.B_MAX, rng,
-                contains_fn=self._contains_fn))
+            cached = self._load_cached_samples(subject, rng)
+            if cached is not None:
+                item.update(cached)
+            else:
+                mesh_hr = self._mesh(subject + "_HR.obj")
+                mesh_lr = self._mesh(subject + "_LR.obj")
+                item.update(sample_points_and_labels(
+                    mesh_hr, mesh_lr, self.cfg.num_sample_inout,
+                    self.cfg.sigma, self.B_MIN, self.B_MAX, rng,
+                    contains_fn=self._contains_fn))
         return item
+
+    def _load_cached_samples(self, subject: str,
+                             rng: np.random.Generator) -> Optional[Dict]:
+        """Pick a random precomputed draw (apps/precompute_samples.py)."""
+        if not self.sample_cache_dir:
+            return None
+        import glob
+        paths = sorted(glob.glob(os.path.join(
+            self.sample_cache_dir, f"{subject}_*.npz")))
+        if not paths:
+            return None
+        pick = paths[0] if not self.is_train else \
+            paths[int(rng.integers(len(paths)))]
+        with np.load(pick) as z:
+            return {k: z[k] for k in
+                    ("samples_HR", "samples_LR", "labels_HR",
+                     "labels_disp")}
 
     def __getitem__(self, index):
         return self.get_item(index)
