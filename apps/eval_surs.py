@@ -39,11 +39,12 @@ def main():
     params = load_params(cfg, model)
 
     query_fn = None
+    fw = None
     if cfg.use_pallas and jax.default_backend() != "cpu":
         fw = prepare_fused_weights(
             params["mlp_lr"], params["mlp_hr"], cfg.mlp_dim_lr,
             cfg.mlp_dim_hr, cfg.mlp_res_layers_lr, cfg.mlp_res_layers_hr)
-        query_fn = make_fused_query_fn(fw, cfg.loadSize, cfg.z_size)
+        query_fn = make_fused_query_fn(cfg.loadSize, cfg.z_size)
 
     out_dir = os.path.join(cfg.results_path, cfg.name)
     os.makedirs(out_dir, exist_ok=True)
@@ -51,7 +52,8 @@ def main():
     for idx in range(len(dataset)):
         data = dataset[idx]
         save_path = os.path.join(out_dir, f"{data['name']}.obj")
-        gen_mesh(cfg, model, params, data, save_path, query_fn=query_fn)
+        gen_mesh(cfg, model, params, data, save_path, query_fn=query_fn,
+                 query_weights=fw)
         print("saved", save_path)
 
 

@@ -23,6 +23,10 @@ import time
 
 import numpy as np
 
+
+def log(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
 # Measured reference-architecture PyTorch-CPU query throughput on this
 # host (BASELINE.md): queries/sec for the identical (grid_sample x2 +
 # dual 5-layer MLP) chunk evaluation.
@@ -71,11 +75,12 @@ def main():
                         calib, train=True)["params"]
     _, feats_lr, feat_hr = jax.block_until_ready(enc(params, img))
     t_encode = time.time() - t0
+    log(f"encode compiled+ran in {t_encode:.1f}s on {backend}")
 
     fw = prepare_fused_weights(params["mlp_lr"], params["mlp_hr"],
                                cfg.mlp_dim_lr, cfg.mlp_dim_hr,
                                cfg.mlp_res_layers_lr, cfg.mlp_res_layers_hr)
-    query_fn = make_fused_query_fn(fw, cfg.loadSize, cfg.z_size,
+    query_fn = make_fused_query_fn(cfg.loadSize, cfg.z_size,
                                    use_pallas=on_tpu)
 
     # ---- queries/sec on 50k chunks ----
@@ -84,9 +89,11 @@ def main():
 
     @jax.jit
     def q(p):
-        return query_fn(None, feats_lr, feat_hr, p, calib)
+        return query_fn(fw, feats_lr, feat_hr, p, calib)
 
+    t0 = time.time()
     jax.block_until_ready(q(pts))  # compile
+    log(f"query compiled in {time.time() - t0:.1f}s")
     n_iters = max(1, n_query // chunk)
     t0 = time.time()
     for _ in range(n_iters):
@@ -94,6 +101,7 @@ def main():
     jax.block_until_ready(out)
     dt = time.time() - t0
     qps = n_iters * chunk / dt
+    log(f"qps = {qps:.0f}")
 
     # ---- end-to-end mesh ----
     data = {"img_LR": img, "b_min": np.asarray(cfg.b_min),
@@ -101,8 +109,17 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         t0 = time.time()
         gen_mesh(cfg, model, params, data,
-                 os.path.join(td, "bench.obj"), query_fn=query_fn)
+                 os.path.join(td, "bench.obj"), query_fn=query_fn,
+                 query_weights=fw)
         t_mesh = time.time() - t0
+        log(f"gen_mesh (first, incl. compiles) {t_mesh:.1f}s")
+        # second run reflects steady-state (compile cache warm)
+        t0 = time.time()
+        gen_mesh(cfg, model, params, data,
+                 os.path.join(td, "bench2.obj"), query_fn=query_fn,
+                 query_weights=fw)
+        t_mesh = time.time() - t0
+        log(f"gen_mesh (steady-state) {t_mesh:.1f}s")
 
     result = {
         "metric": "occupancy_queries_per_sec",

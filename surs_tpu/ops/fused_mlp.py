@@ -42,13 +42,31 @@ class MLPSpec(NamedTuple):
 
 
 class FusedWeights(NamedTuple):
-    """Padded parameters for both MLPs (a pytree of device arrays)."""
+    """Padded parameters for both MLPs.
+
+    Registered as a custom pytree: the weight tuples are children (traced
+    arrays), the MLPSpecs are static aux data — so a FusedWeights can be
+    passed through jit boundaries without baking weights in as constants
+    while specs keep driving Python-level layer construction.
+    """
     lr_w: Tuple[jnp.ndarray, ...]
     lr_b: Tuple[jnp.ndarray, ...]
     hr_w: Tuple[jnp.ndarray, ...]
     hr_b: Tuple[jnp.ndarray, ...]
     spec_lr: MLPSpec
     spec_hr: MLPSpec
+
+
+def _fw_flatten(fw: FusedWeights):
+    return ((fw.lr_w, fw.lr_b, fw.hr_w, fw.hr_b),
+            (fw.spec_lr, fw.spec_hr))
+
+
+def _fw_unflatten(aux, children):
+    return FusedWeights(*children, *aux)
+
+
+jax.tree_util.register_pytree_node(FusedWeights, _fw_flatten, _fw_unflatten)
 
 
 def _pad_layer(W: jnp.ndarray, b: jnp.ndarray, in_segments, out_pad: int,

@@ -44,17 +44,16 @@ def fused_query(fw: FusedWeights, feat_lr: jnp.ndarray,
     return hr.reshape(B, N) * mask, lr.reshape(B, N) * mask
 
 
-def make_fused_query_fn(fw: FusedWeights, load_size: int, z_size: float,
+def make_fused_query_fn(load_size: int, z_size: float,
                         projection: str = "orthogonal",
                         use_pallas: bool = True, block_n: int = 512,
                         interpret: bool = False) -> Callable:
-    """Build a ``query_fn(params, feats_lr, feat_hr, points, calibs)``
-    compatible with recon.pipeline (params ignored — weights are already
-    baked into ``fw``)."""
-    def query_fn(params, feats_lr: List[jnp.ndarray], feat_hr, points,
-                 calibs):
-        del params
-        return fused_query(fw, feats_lr[-1], feat_hr, points, calibs,
+    """Build a ``query_fn(weights, feats_lr, feat_hr, points, calibs)``
+    compatible with recon.pipeline.Reconstructor, where ``weights`` is a
+    FusedWeights pytree (passed per call — traced, not baked in)."""
+    def query_fn(weights: FusedWeights, feats_lr: List[jnp.ndarray],
+                 feat_hr, points, calibs):
+        return fused_query(weights, feats_lr[-1], feat_hr, points, calibs,
                            load_size, z_size, projection,
                            use_pallas=use_pallas, block_n=block_n,
                            interpret=interpret)

@@ -19,12 +19,18 @@ tested (lib/sdf.py:79-117). The reference's sequential cell loop is
 order-independent (fills only ever write a cell's own block, and every
 corner a later cell reads is outside earlier cells' blocks), so the
 vectorized form is exact.
+
+Compile discipline: ``eval_fn(points, ctx)`` receives every per-subject
+array (features, calibration, weights) through the ``ctx`` pytree, so the
+jitted level/prune programs are traced once per static shape and reused
+across subjects — pass a persistent ``cache`` dict (the Reconstructor in
+pipeline.py does).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Callable, Tuple
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import numpy as np
 import jax
@@ -33,42 +39,12 @@ from jax import lax
 
 from .grid import flat_index_to_world
 
-# eval_fn: [3, C] world points -> (hr [C], lr [C])
-EvalFn = Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
-
-
-def _chunk_eval_scatter(eval_fn: EvalFn, compact: jnp.ndarray,
-                        na: jnp.ndarray, num_chunks, chunk: int, L: int,
-                        reso: int, R: int, mat: np.ndarray,
-                        sdf_hr, sdf_lr, dirty):
-    """Evaluate the first ``na`` compacted lattice indices in fixed-size
-    chunks, scattering results into the full-resolution fields."""
-
-    def body(carry):
-        sdf_hr, sdf_lr, dirty, c = carry
-        idx = lax.dynamic_slice(compact, (c * chunk,), (chunk,))
-        valid = (c * chunk + jnp.arange(chunk, dtype=jnp.int32)) < na
-        pts = flat_index_to_world(idx, L, reso, mat)
-        hr, lr = eval_fn(pts)
-        k = (idx % L) * reso
-        j = ((idx // L) % L) * reso
-        i = (idx // (L * L)) * reso
-        i = jnp.where(valid, i, R)  # out-of-bounds -> dropped by scatter
-        sdf_hr = sdf_hr.at[i, j, k].set(hr, mode="drop")
-        sdf_lr = sdf_lr.at[i, j, k].set(lr, mode="drop")
-        dirty = dirty.at[i, j, k].set(False, mode="drop")
-        return sdf_hr, sdf_lr, dirty, c + 1
-
-    def cond(carry):
-        return carry[3] < num_chunks
-
-    sdf_hr, sdf_lr, dirty, _ = lax.while_loop(
-        cond, body, (sdf_hr, sdf_lr, dirty, jnp.int32(0)))
-    return sdf_hr, sdf_lr, dirty
+# eval_fn: ([3, C] world points, ctx pytree) -> (hr [C], lr [C])
+EvalFn = Callable[[jnp.ndarray, Any], Tuple[jnp.ndarray, jnp.ndarray]]
 
 
 def _level_step(eval_fn: EvalFn, R: int, reso: int, chunk: int,
-                mat: np.ndarray, sdf_hr, sdf_lr, dirty):
+                mat: np.ndarray, sdf_hr, sdf_lr, dirty, ctx):
     """Evaluate every still-dirty lattice point at stride ``reso``."""
     L = R // reso
     L3 = L * L * L
@@ -78,11 +54,28 @@ def _level_step(eval_fn: EvalFn, R: int, reso: int, chunk: int,
     # stable stream compaction of dirty lattice indices via cumsum scatter
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
     target = jnp.where(flat, pos, L3)
-    pad = max(chunk, 1)
-    compact = jnp.zeros((L3 + pad,), jnp.int32).at[target].set(
+    compact = jnp.zeros((L3 + chunk,), jnp.int32).at[target].set(
         jnp.arange(L3, dtype=jnp.int32), mode="drop")
-    return _chunk_eval_scatter(eval_fn, compact, na, num_chunks, chunk, L,
-                               reso, R, mat, sdf_hr, sdf_lr, dirty)
+
+    def body(carry):
+        sdf_hr, sdf_lr, dirty, c = carry
+        idx = lax.dynamic_slice(compact, (c * chunk,), (chunk,))
+        valid = (c * chunk + jnp.arange(chunk, dtype=jnp.int32)) < na
+        pts = flat_index_to_world(idx, L, reso, mat)
+        hr, lr = eval_fn(pts, ctx)
+        k = (idx % L) * reso
+        j = ((idx // L) % L) * reso
+        i = (idx // (L * L)) * reso
+        i = jnp.where(valid, i, R)  # out-of-bounds -> dropped by scatter
+        sdf_hr = sdf_hr.at[i, j, k].set(hr, mode="drop")
+        sdf_lr = sdf_lr.at[i, j, k].set(lr, mode="drop")
+        dirty = dirty.at[i, j, k].set(False, mode="drop")
+        return sdf_hr, sdf_lr, dirty, c + 1
+
+    sdf_hr, sdf_lr, dirty, _ = lax.while_loop(
+        lambda carry: carry[3] < num_chunks, body,
+        (sdf_hr, sdf_lr, dirty, jnp.int32(0)))
+    return sdf_hr, sdf_lr, dirty
 
 
 def _prune_step(R: int, reso: int, threshold: float, sdf_hr, sdf_lr, dirty):
@@ -125,61 +118,63 @@ def _prune_step(R: int, reso: int, threshold: float, sdf_hr, sdf_lr, dirty):
 
 def eval_grid_octree(eval_fn: EvalFn, resolution: int, mat: np.ndarray,
                      threshold: float, init_resolution: int = 64,
-                     num_samples: int = 50000,
-                     jit: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                     num_samples: int = 50000, ctx: Any = None,
+                     jit: bool = True,
+                     cache: Optional[Dict] = None
+                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Coarse-to-fine evaluation of the (hr, lr) occupancy fields.
 
-    Returns two [R, R, R] float32 device arrays. ``eval_fn`` must be a
-    traceable function mapping [3, C] world points to (hr [C], lr [C]).
+    Returns two [R, R, R] float32 device arrays. Per-subject arrays go
+    through ``ctx`` (a pytree forwarded to ``eval_fn``); pass the same
+    ``cache`` dict across calls to reuse compiled level programs.
     """
     R = resolution
+    mat = np.asarray(mat)
     sdf_hr = jnp.zeros((R, R, R), jnp.float32)
     sdf_lr = jnp.zeros((R, R, R), jnp.float32)
     dirty = jnp.ones((R, R, R), bool)
 
-    mat = np.asarray(mat)
-
-    def level(reso, chunk, sdf_hr, sdf_lr, dirty):
-        return _level_step(eval_fn, R, reso, chunk, mat, sdf_hr, sdf_lr,
-                           dirty)
-
-    prune = functools.partial(_prune_step, R)
-    if jit:
-        level = jax.jit(level, static_argnums=(0, 1))
-        prune = jax.jit(prune, static_argnums=(0, 1))
-
+    cache = cache if cache is not None else {}
+    base_key = ("oct", R, num_samples, float(threshold), mat.tobytes())
     reso = R // init_resolution
     while reso > 0:
-        sdf_hr, sdf_lr, dirty = level(reso, num_samples,
-                                      sdf_hr, sdf_lr, dirty)
+        lkey = base_key + ("level", reso)
+        if lkey not in cache:
+            fn = functools.partial(_level_step, eval_fn, R, reso,
+                                   num_samples, mat)
+            cache[lkey] = jax.jit(fn) if jit else fn
+        sdf_hr, sdf_lr, dirty = cache[lkey](sdf_hr, sdf_lr, dirty, ctx)
         if reso <= 1:
             break
-        sdf_hr, sdf_lr, dirty = prune(reso, threshold,
-                                      sdf_hr, sdf_lr, dirty)
+        pkey = base_key + ("prune", reso)
+        if pkey not in cache:
+            fn = functools.partial(_prune_step, R, reso, threshold)
+            cache[pkey] = jax.jit(fn) if jit else fn
+        sdf_hr, sdf_lr, dirty = cache[pkey](sdf_hr, sdf_lr, dirty)
         reso //= 2
     return sdf_hr, sdf_lr
 
 
 def eval_grid_dense(eval_fn: EvalFn, resolution: int, mat: np.ndarray,
-                    num_samples: int = 50000,
-                    jit: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                    num_samples: int = 50000, ctx: Any = None,
+                    jit: bool = True, cache: Optional[Dict] = None
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Dense evaluation of every grid point (reference eval_grid,
     lib/sdf.py:48-52), chunked on device."""
     R = resolution
     R3 = R * R * R
+    mat = np.asarray(mat)
     chunk = min(num_samples, R3)
     num_chunks = (R3 + chunk - 1) // chunk
 
-    mat = np.asarray(mat)
-
-    def run():
+    def run(ctx):
         def body(c, acc):
             hr_acc, lr_acc = acc
             start = c * chunk
             idx = start + jnp.arange(chunk, dtype=jnp.int32)
             idx = jnp.minimum(idx, R3 - 1)  # tail chunk re-evaluates edge
             pts = flat_index_to_world(idx, R, 1, mat)
-            hr, lr = eval_fn(pts)
+            hr, lr = eval_fn(pts, ctx)
             hr_acc = lax.dynamic_update_slice(hr_acc, hr, (start,))
             lr_acc = lax.dynamic_update_slice(lr_acc, lr, (start,))
             return hr_acc, lr_acc
@@ -189,6 +184,8 @@ def eval_grid_dense(eval_fn: EvalFn, resolution: int, mat: np.ndarray,
         hr, lr = lax.fori_loop(0, num_chunks, body, init)
         return hr[:R3].reshape(R, R, R), lr[:R3].reshape(R, R, R)
 
-    if jit:
-        run = jax.jit(run)
-    return run()
+    cache = cache if cache is not None else {}
+    key = ("dense", R, chunk, mat.tobytes())
+    if key not in cache:
+        cache[key] = jax.jit(run) if jit else run
+    return cache[key](ctx)

@@ -6,16 +6,20 @@ evaluate the (HR, LR) occupancy fields over the bounding grid —
 coarse-to-fine on device — then extract both meshes on the host and write
 ``*_HR.obj`` / ``*_LR.obj``.
 
-The device/host boundary is crossed exactly twice per subject (one
-occupancy volume each), versus once per 50k-point chunk in the reference
-(lib/mesh_util.py:20-28).
+Compared with the reference, the device/host boundary is crossed exactly
+twice per subject (one occupancy volume each) instead of once per
+50k-point chunk (lib/mesh_util.py:20-28), and every device program
+(encode, per-level evaluation, pruning) is compiled once per shape by the
+persistent :class:`Reconstructor` and reused across subjects — features
+and weights flow through traced arguments, never as baked-in constants.
 """
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..models.surs_net import SuRSNet
@@ -32,23 +36,120 @@ def eval_calibration(batch: int = 1) -> np.ndarray:
     return np.tile(calib[None], (batch, 1, 1))
 
 
-def make_point_eval(model: SuRSNet, params, feats_lr, feat_hr,
-                    calib: jnp.ndarray,
-                    query_fn: Optional[Callable] = None):
-    """Build the traceable [3, C] -> (hr [C], lr [C]) point evaluator.
+class Reconstructor:
+    """Compiled reconstruction engine for one model configuration.
 
-    ``query_fn`` overrides the model query (used to swap in the fused
-    Pallas kernel path while keeping identical semantics).
+    ``query_fn(weights, feats_lr, feat_hr, points, calibs)`` overrides the
+    model's query (e.g. the fused Pallas path,
+    ops/point_query.make_fused_query_fn); ``weights`` is then whatever
+    pytree that query consumes (FusedWeights), passed per call.
     """
-    def eval_fn(points):
-        pts = points[None]  # [1, 3, C]
-        if query_fn is not None:
-            hr, lr = query_fn(params, feats_lr, feat_hr, pts, calib)
+
+    def __init__(self, model: SuRSNet,
+                 query_fn: Optional[Callable] = None):
+        self.model = model
+        self.query_fn = query_fn
+        self._cache: Dict = {}
+
+        def encode(params, images):
+            return model.apply({"params": params}, images, train=False,
+                               method=SuRSNet.encode)
+        self._encode = jax.jit(encode)
+
+        def eval_fn(points, ctx):
+            pts = points[None]  # [1, 3, C]
+            if self.query_fn is not None:
+                hr, lr = self.query_fn(ctx["weights"], ctx["feats_lr"],
+                                       ctx["feat_hr"], pts, ctx["calib"])
+            else:
+                hr, lr = model.apply(
+                    {"params": ctx["weights"]}, ctx["feats_lr"],
+                    ctx["feat_hr"], pts, ctx["calib"],
+                    method=SuRSNet.query)
+            return hr[0], lr[0]
+        self._eval_fn = eval_fn
+
+    # ------------------------------------------------------------------
+    def encode(self, params, images: jnp.ndarray):
+        """images [B, S, S, 3] -> (img_sr, feats_lr, feat_hr), jitted."""
+        return self._encode(params, images)
+
+    def evaluate(self, weights, feats_lr, feat_hr, calib, resolution: int,
+                 b_min, b_max, use_octree: bool = True,
+                 num_samples: int = 50000, threshold: float = 0.05,
+                 init_resolution: int = 64,
+                 transform: Optional[np.ndarray] = None):
+        """Evaluate both occupancy fields; returns (sdf_hr, sdf_lr, mat)."""
+        mat = grid_matrix((resolution,) * 3, b_min, b_max)
+        if transform is not None:
+            mat = np.asarray(transform) @ mat
+        ctx = {"weights": weights, "feats_lr": feats_lr,
+               "feat_hr": feat_hr, "calib": jnp.asarray(calib)}
+        if use_octree:
+            sdf_hr, sdf_lr = eval_grid_octree(
+                self._eval_fn, resolution, mat, threshold,
+                init_resolution=init_resolution, num_samples=num_samples,
+                ctx=ctx, cache=self._cache)
         else:
-            hr, lr = model.apply({"params": params}, feats_lr, feat_hr,
-                                 pts, calib, method=SuRSNet.query)
-        return hr[0], lr[0]
-    return eval_fn
+            sdf_hr, sdf_lr = eval_grid_dense(
+                self._eval_fn, resolution, mat, num_samples=num_samples,
+                ctx=ctx, cache=self._cache)
+        return sdf_hr, sdf_lr, mat
+
+    def reconstruct(self, weights, feats_lr, feat_hr, calib,
+                    resolution: int, b_min, b_max, use_octree: bool = True,
+                    num_samples: int = 50000, threshold: float = 0.05,
+                    init_resolution: int = 64,
+                    transform: Optional[np.ndarray] = None,
+                    level: float = 0.5):
+        """Full evaluation + host isosurface extraction.
+
+        Returns (verts_hr, faces_hr, verts_lr, faces_lr), world coords.
+        """
+        sdf_hr, sdf_lr, mat = self.evaluate(
+            weights, feats_lr, feat_hr, calib, resolution, b_min, b_max,
+            use_octree, num_samples, threshold, init_resolution, transform)
+
+        def extract(sdf):
+            verts, faces = extract_isosurface(np.asarray(sdf), level)
+            verts = verts @ mat[:3, :3].T + mat[:3, 3]
+            return verts.astype(np.float32), faces
+
+        verts_hr, faces_hr = extract(sdf_hr)
+        verts_lr, faces_lr = extract(sdf_lr)
+        return verts_hr, faces_hr, verts_lr, faces_lr
+
+    def gen_mesh(self, cfg, params, weights, data: dict, save_path: str,
+                 use_octree: bool = True) -> Tuple[str, str]:
+        """Per-subject inference driver (reference gen_mesh,
+        lib/train_util.py:53-85). ``params`` feeds encode; ``weights``
+        feeds the query path (== params unless a query_fn swaps in
+        prepared kernel weights)."""
+        img_lr = jnp.asarray(data["img_LR"])
+        _, feats_lr, feat_hr = self.encode(params, img_lr)
+        calib = eval_calibration(img_lr.shape[0])
+        verts_hr, faces_hr, verts_lr, faces_lr = self.reconstruct(
+            weights, feats_lr, feat_hr, calib, cfg.resolution,
+            data["b_min"], data["b_max"], use_octree=use_octree,
+            num_samples=cfg.num_samples, threshold=cfg.threshold,
+            init_resolution=cfg.octree_init_resolution)
+        path_hr = save_path[:-4] + "_HR.obj"
+        path_lr = save_path[:-4] + "_LR.obj"
+        save_obj_mesh(path_hr, verts_hr, faces_hr)
+        save_obj_mesh(path_lr, verts_lr, faces_lr)
+        return path_hr, path_lr
+
+
+# --------------------------------------------------------------------------
+# Functional wrappers (stable public API; reuse a cached Reconstructor)
+_RECON_CACHE: Dict = {}
+
+
+def _get_reconstructor(model: SuRSNet, query_fn) -> Reconstructor:
+    key = (id(model), id(query_fn))
+    if key not in _RECON_CACHE:
+        _RECON_CACHE[key] = Reconstructor(model, query_fn)
+    return _RECON_CACHE[key]
 
 
 def reconstruction(model: SuRSNet, params, feats_lr, feat_hr,
@@ -57,58 +158,35 @@ def reconstruction(model: SuRSNet, params, feats_lr, feat_hr,
                    threshold: float = 0.05, init_resolution: int = 64,
                    transform: Optional[np.ndarray] = None,
                    query_fn: Optional[Callable] = None,
-                   level: float = 0.5):
-    """Evaluate both occupancy fields and extract both meshes.
-
-    Returns (verts_hr, faces_hr, verts_lr, faces_lr), verts in world
-    coordinates.
-    """
-    mat = grid_matrix((resolution,) * 3, b_min, b_max)
-    if transform is not None:
-        mat = np.asarray(transform) @ mat
-
-    eval_fn = make_point_eval(model, params, feats_lr, feat_hr,
-                              jnp.asarray(calib), query_fn)
-    if use_octree:
-        sdf_hr, sdf_lr = eval_grid_octree(
-            eval_fn, resolution, mat, threshold,
-            init_resolution=init_resolution, num_samples=num_samples)
-    else:
-        sdf_hr, sdf_lr = eval_grid_dense(
-            eval_fn, resolution, mat, num_samples=num_samples)
-
-    def extract(sdf):
-        verts, faces = extract_isosurface(np.asarray(sdf), level)
-        verts = verts @ mat[:3, :3].T + mat[:3, 3]
-        return verts.astype(np.float32), faces
-
-    verts_hr, faces_hr = extract(sdf_hr)
-    verts_lr, faces_lr = extract(sdf_lr)
-    return verts_hr, faces_hr, verts_lr, faces_lr
+                   query_weights=None, level: float = 0.5):
+    """Evaluate both occupancy fields and extract both meshes."""
+    rec = _get_reconstructor(model, query_fn)
+    weights = query_weights if query_weights is not None else params
+    return rec.reconstruct(weights, feats_lr, feat_hr, calib, resolution,
+                           b_min, b_max, use_octree, num_samples,
+                           threshold, init_resolution, transform, level)
 
 
 def gen_mesh(cfg, model: SuRSNet, params, data: dict, save_path: str,
-             use_octree: bool = True,
-             query_fn: Optional[Callable] = None) -> Tuple[str, str]:
-    """Per-subject inference driver (reference gen_mesh,
-    lib/train_util.py:53-85).
+             use_octree: bool = True, query_fn: Optional[Callable] = None,
+             query_weights=None) -> Tuple[str, str]:
+    """Reference-shaped one-shot API; prefer Reconstructor for loops."""
+    rec = _get_reconstructor(model, query_fn)
+    weights = query_weights if query_weights is not None else params
+    return rec.gen_mesh(cfg, params, weights, data, save_path, use_octree)
 
-    ``data`` holds 'img_LR' [1, S, S, 3] (NHWC), 'b_min', 'b_max'.
-    Writes ``<save_path[:-4]>_HR.obj`` and ``_LR.obj``; returns the paths.
-    """
-    img_lr = jnp.asarray(data["img_LR"])
-    _, feats_lr, feat_hr = model.apply({"params": params}, img_lr,
-                                       train=False, method=SuRSNet.encode)
-    calib = eval_calibration(img_lr.shape[0])
 
-    verts_hr, faces_hr, verts_lr, faces_lr = reconstruction(
-        model, params, feats_lr, feat_hr, calib, cfg.resolution,
-        data["b_min"], data["b_max"], use_octree=use_octree,
-        num_samples=cfg.num_samples, threshold=cfg.threshold,
-        init_resolution=cfg.octree_init_resolution, query_fn=query_fn)
-
-    path_hr = save_path[:-4] + "_HR.obj"
-    path_lr = save_path[:-4] + "_LR.obj"
-    save_obj_mesh(path_hr, verts_hr, faces_hr)
-    save_obj_mesh(path_lr, verts_lr, faces_lr)
-    return path_hr, path_lr
+def make_point_eval(model: SuRSNet, params, feats_lr, feat_hr,
+                    calib: jnp.ndarray,
+                    query_fn: Optional[Callable] = None):
+    """Standalone traceable [3, C] -> (hr [C], lr [C]) evaluator (test
+    helper; closes over the given arrays)."""
+    def eval_fn(points):
+        pts = points[None]
+        if query_fn is not None:
+            hr, lr = query_fn(params, feats_lr, feat_hr, pts, calib)
+        else:
+            hr, lr = model.apply({"params": params}, feats_lr, feat_hr,
+                                 pts, calib, method=SuRSNet.query)
+        return hr[0], lr[0]
+    return eval_fn

@@ -79,9 +79,9 @@ def test_fused_query_matches_model(rng):
 
     fw = prepare_fused_weights(params["mlp_lr"], params["mlp_hr"],
                                DIMS_LR, DIMS_HR)
-    qf = make_fused_query_fn(fw, load_size=32, z_size=200.0,
+    qf = make_fused_query_fn(load_size=32, z_size=200.0,
                              use_pallas=False)
-    got_hr, got_lr = qf(None, feats_lr, feat_hr, pts, calib)
+    got_hr, got_lr = qf(fw, feats_lr, feat_hr, pts, calib)
     np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),

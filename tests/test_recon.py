@@ -60,7 +60,7 @@ def binary_sphere_eval(points):
     return ((r < 0.35).astype(np.float32), (r < 0.30).astype(np.float32))
 
 
-def binary_sphere_eval_jax(points):
+def binary_sphere_eval_jax(points, ctx=None):
     r = jnp.linalg.norm(points, axis=0)
     return ((r < 0.35).astype(jnp.float32), (r < 0.30).astype(jnp.float32))
 
@@ -102,7 +102,7 @@ def test_octree_matches_dense_on_smooth_field():
     R, thr = 32, 0.05
     mat = grid_matrix((R, R, R), np.array([-0.5] * 3), np.array([0.5] * 3))
 
-    def smooth(points):
+    def smooth(points, ctx=None):
         r = jnp.linalg.norm(points, axis=0)
         v = jnp.clip(1.0 - r / 0.4, 0.0, 1.0)
         return v, v * 0.9
