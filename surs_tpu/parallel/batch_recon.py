@@ -1,0 +1,135 @@
+"""Multi-subject batched reconstruction across a device mesh.
+
+BASELINE.json config 5 ("stretch: multi-subject batch reconstruction
+pmapped across a TPU mesh"): subjects are sharded one-per-device over the
+``data`` axis with ``shard_map``; every device runs the full
+coarse-to-fine octree evaluation on its own subject concurrently —
+per-device ``lax.while_loop`` trip counts diverge freely because the
+evaluation contains no cross-device collectives. Host marching cubes then
+runs per subject on the fetched volumes.
+
+The per-device program is exactly recon.evaluator's level/prune steps, so
+single-subject and batched paths share semantics and tests.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..recon.evaluator import _level_step, _prune_step, EvalFn
+from ..recon.grid import grid_matrix
+from ..recon.marching import extract_isosurface
+from .mesh import DATA_AXIS
+
+
+def _batched_spec(ndim: int) -> P:
+    return P(DATA_AXIS, *([None] * (ndim - 1)))
+
+
+class ShardedReconstructor:
+    """Evaluate B subjects' occupancy fields, one subject per device.
+
+    ``eval_fn(points, ctx)`` as in recon.evaluator; ``ctx`` leaves must
+    carry a leading batch axis of size B == mesh['data'] size.
+    """
+
+    def __init__(self, eval_fn: EvalFn, mesh: Mesh, resolution: int,
+                 b_min, b_max, threshold: float = 0.05,
+                 init_resolution: int = 64, num_samples: int = 50000):
+        self.eval_fn = eval_fn
+        self.mesh = mesh
+        self.R = resolution
+        self.threshold = threshold
+        self.init_resolution = init_resolution
+        self.num_samples = num_samples
+        self.mat = grid_matrix((resolution,) * 3, b_min, b_max)
+        self.n_data = mesh.shape[DATA_AXIS]
+        self._level_jits: Dict = {}
+        self._prune_jits: Dict = {}
+
+    def _level(self, reso: int):
+        if reso not in self._level_jits:
+            base = functools.partial(_level_step, self.eval_fn, self.R,
+                                     reso, self.num_samples, self.mat)
+
+            def per_shard(sdf_hr, sdf_lr, dirty, ctx):
+                # strip the local batch axis (1 subject per device)
+                ctx0 = jax.tree.map(lambda x: x[0], ctx)
+                out = base(sdf_hr[0], sdf_lr[0], dirty[0], ctx0)
+                return tuple(o[None] for o in out)
+
+            ctx_spec = P(DATA_AXIS)  # leading batch axis on every leaf
+            fn = shard_map(
+                per_shard, mesh=self.mesh,
+                in_specs=(_batched_spec(4),) * 3 + (ctx_spec,),
+                out_specs=(_batched_spec(4),) * 3,
+                check_rep=False)
+            self._level_jits[reso] = jax.jit(fn)
+        return self._level_jits[reso]
+
+    def _prune(self, reso: int):
+        if reso not in self._prune_jits:
+            base = functools.partial(_prune_step, self.R, reso,
+                                     self.threshold)
+
+            def per_shard(sdf_hr, sdf_lr, dirty):
+                out = base(sdf_hr[0], sdf_lr[0], dirty[0])
+                return tuple(o[None] for o in out)
+
+            fn = shard_map(per_shard, mesh=self.mesh,
+                           in_specs=(_batched_spec(4),) * 3,
+                           out_specs=(_batched_spec(4),) * 3,
+                           check_rep=False)
+            self._prune_jits[reso] = jax.jit(fn)
+        return self._prune_jits[reso]
+
+    def evaluate(self, ctx: Any) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """ctx leaves: [B, ...] per-subject arrays. Returns
+        (sdf_hr [B,R,R,R], sdf_lr [B,R,R,R])."""
+        B, R = self.n_data, self.R
+        sharding4 = NamedSharding(self.mesh, _batched_spec(4))
+        sdf_hr = jax.device_put(jnp.zeros((B, R, R, R), jnp.float32),
+                                sharding4)
+        sdf_lr = jax.device_put(jnp.zeros((B, R, R, R), jnp.float32),
+                                sharding4)
+        dirty = jax.device_put(jnp.ones((B, R, R, R), bool), sharding4)
+        ctx = jax.tree.map(
+            lambda x: jax.device_put(
+                x, NamedSharding(self.mesh, _batched_spec(np.ndim(x)))),
+            ctx)
+
+        reso = R // self.init_resolution
+        while reso > 0:
+            sdf_hr, sdf_lr, dirty = self._level(reso)(
+                sdf_hr, sdf_lr, dirty, ctx)
+            if reso <= 1:
+                break
+            sdf_hr, sdf_lr, dirty = self._prune(reso)(sdf_hr, sdf_lr,
+                                                      dirty)
+            reso //= 2
+        return sdf_hr, sdf_lr
+
+    def reconstruct(self, ctx: Any, level: float = 0.5
+                    ) -> List[Tuple[np.ndarray, np.ndarray,
+                                    np.ndarray, np.ndarray]]:
+        """Returns per-subject (verts_hr, faces_hr, verts_lr, faces_lr)."""
+        sdf_hr, sdf_lr = self.evaluate(ctx)
+        sdf_hr = np.asarray(sdf_hr)
+        sdf_lr = np.asarray(sdf_lr)
+        out = []
+        for b in range(self.n_data):
+            def extract(vol):
+                verts, faces = extract_isosurface(vol, level)
+                verts = verts @ self.mat[:3, :3].T + self.mat[:3, 3]
+                return verts.astype(np.float32), faces
+            vh, fh = extract(sdf_hr[b])
+            vl, fl = extract(sdf_lr[b])
+            out.append((vh, fh, vl, fl))
+        return out
