@@ -71,8 +71,9 @@ def main():
         np.float32))[None]
     img_hr0 = jnp.asarray(rng.standard_normal(
         (1, 2 * S, 2 * S, 3)).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), img, img_hr0, pts0, pts0,
-                        calib, train=True)["params"]
+    init = jax.jit(lambda k: model.init(k, img, img_hr0, pts0, pts0,
+                                        calib, train=True))
+    params = init(jax.random.PRNGKey(0))["params"]
     _, feats_lr, feat_hr = jax.block_until_ready(enc(params, img))
     t_encode = time.time() - t0
     log(f"encode compiled+ran in {t_encode:.1f}s on {backend}")

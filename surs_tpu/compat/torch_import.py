@@ -204,8 +204,9 @@ def load_params(cfg, model):
         "calibs": jnp.asarray(
             np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32))[None],
     }
-    params = model.init(jax.random.PRNGKey(cfg.seed), **sample,
-                        train=True)["params"]
+    params = jax.jit(
+        lambda k: model.init(k, **sample, train=True))(
+            jax.random.PRNGKey(cfg.seed))["params"]
 
     path = cfg.load_netG_checkpoint_path
     if not path:

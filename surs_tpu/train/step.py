@@ -31,7 +31,10 @@ class TrainState(struct.PyTreeNode):
 
 def create_train_state(model: SuRSNet, optimizer, rng, sample_batch,
                        ) -> TrainState:
-    variables = model.init(rng, **sample_batch, train=True)
+    # jitted init: eager init dispatches one compile per op, which is
+    # pathologically slow on remote-compile TPU backends
+    variables = jax.jit(
+        lambda k: model.init(k, **sample_batch, train=True))(rng)
     params = variables["params"]
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       opt_state=optimizer.init(params),
