@@ -24,7 +24,8 @@ import jax.numpy as jnp
 
 from ..models.surs_net import SuRSNet
 from .grid import grid_matrix
-from .evaluator import eval_grid_octree, eval_grid_dense
+from .evaluator import (eval_grid_octree, eval_grid_octree_hostloop,
+                        eval_grid_dense)
 from .marching import extract_isosurface
 from .mesh_io import save_obj_mesh
 
@@ -46,9 +47,13 @@ class Reconstructor:
     """
 
     def __init__(self, model: SuRSNet,
-                 query_fn: Optional[Callable] = None):
+                 query_fn: Optional[Callable] = None,
+                 octree_mode: str = "hostloop"):
         self.model = model
         self.query_fn = query_fn
+        # 'hostloop': one compiled query program re-dispatched per chunk
+        # (fast compile); 'fused': whole level in one while_loop program
+        self.octree_mode = octree_mode
         self._cache: Dict = {}
 
         def encode(params, images):
@@ -86,7 +91,10 @@ class Reconstructor:
         ctx = {"weights": weights, "feats_lr": feats_lr,
                "feat_hr": feat_hr, "calib": jnp.asarray(calib)}
         if use_octree:
-            sdf_hr, sdf_lr = eval_grid_octree(
+            octree = (eval_grid_octree_hostloop
+                      if self.octree_mode == "hostloop"
+                      else eval_grid_octree)
+            sdf_hr, sdf_lr = octree(
                 self._eval_fn, resolution, mat, threshold,
                 init_resolution=init_resolution, num_samples=num_samples,
                 ctx=ctx, cache=self._cache)

@@ -1,4 +1,5 @@
 from .optim import make_optimizer, lr_for_epoch, set_learning_rate
+from . import losses
 from .step import (TrainState, create_train_state, make_train_step,
                    make_eval_loss_step)
 from .checkpoint import CheckpointManager

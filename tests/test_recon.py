@@ -213,3 +213,19 @@ def test_pipeline_end_to_end_tiny(tmp_path):
     path = str(tmp_path / "subject.obj")
     p_hr, p_lr = gen_mesh(cfg, model, variables["params"], data, path)
     assert os.path.exists(p_hr) and os.path.exists(p_lr)
+
+
+def test_octree_hostloop_matches_fused():
+    from surs_tpu.recon.evaluator import eval_grid_octree_hostloop
+    R, init_res, thr = 32, 8, 0.05
+    mat = grid_matrix((R, R, R), np.array([-0.5] * 3), np.array([0.5] * 3))
+    fused_hr, fused_lr = eval_grid_octree(
+        binary_sphere_eval_jax, R, mat, thr, init_resolution=init_res,
+        num_samples=500)
+    hl_hr, hl_lr = eval_grid_octree_hostloop(
+        binary_sphere_eval_jax, R, mat, thr, init_resolution=init_res,
+        num_samples=500)
+    np.testing.assert_allclose(np.asarray(hl_hr), np.asarray(fused_hr),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hl_lr), np.asarray(fused_lr),
+                               atol=1e-6)
