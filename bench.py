@@ -35,12 +35,13 @@ BASELINE_QPS = float(os.environ.get("SURS_BASELINE_QPS", "15811"))
 
 def main():
     import jax
+    from surs_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     import jax.numpy as jnp
     from surs_tpu.config import SuRSConfig
     from surs_tpu.models import SuRSNet, surs_net_from_config
     from surs_tpu.ops.fused_mlp import prepare_fused_weights
     from surs_tpu.ops.point_query import make_fused_query_fn
-    from surs_tpu.recon import gen_mesh
 
     backend = jax.default_backend()
     on_tpu = backend not in ("cpu",)
@@ -104,23 +105,51 @@ def main():
     qps = n_iters * chunk / dt
     log(f"qps = {qps:.0f}")
 
-    # ---- end-to-end mesh ----
-    data = {"img_LR": img, "b_min": np.asarray(cfg.b_min),
-            "b_max": np.asarray(cfg.b_max)}
+    # ---- end-to-end mesh: device field evaluation (real model) +
+    # host marching tetrahedra / OBJ write on a realistic surface.
+    # (A random-weight occupancy field hovers at 0.5 everywhere, which
+    # would make every cell surface-active — a degenerate MC workload —
+    # so the host stages are timed on a sphere of the same resolution.)
+    from surs_tpu.recon.pipeline import Reconstructor
+    from surs_tpu.recon.marching import extract_isosurface
+    from surs_tpu.recon.mesh_io import save_obj_mesh
+
+    rec = Reconstructor(model, query_fn=query_fn)
+    calib_b = np.asarray(calib)
+    t0 = time.time()
+    sdf_hr, sdf_lr, mat = rec.evaluate(
+        fw if query_fn is not None else params, feats_lr, feat_hr,
+        calib_b, cfg.resolution, np.asarray(cfg.b_min),
+        np.asarray(cfg.b_max), num_samples=cfg.num_samples,
+        threshold=cfg.threshold,
+        init_resolution=cfg.octree_init_resolution)
+    jax.block_until_ready(sdf_hr)
+    log(f"field eval (first, incl. compiles) {time.time() - t0:.1f}s")
+    t0 = time.time()
+    sdf_hr, sdf_lr, mat = rec.evaluate(
+        fw if query_fn is not None else params, feats_lr, feat_hr,
+        calib_b, cfg.resolution, np.asarray(cfg.b_min),
+        np.asarray(cfg.b_max), num_samples=cfg.num_samples,
+        threshold=cfg.threshold,
+        init_resolution=cfg.octree_init_resolution)
+    jax.block_until_ready(sdf_hr)
+    t_eval = time.time() - t0
+    log(f"field eval (steady-state) {t_eval:.2f}s")
+
+    R = cfg.resolution
+    g = np.mgrid[:R, :R, :R].astype(np.float32) - (R - 1) / 2
+    sphere = 0.5 + (R * 0.35 - np.sqrt((g ** 2).sum(0))).astype(np.float32)
+    t0 = time.time()
+    verts, faces = extract_isosurface(sphere, 0.5)
+    t_mc = time.time() - t0
     with tempfile.TemporaryDirectory() as td:
         t0 = time.time()
-        gen_mesh(cfg, model, params, data,
-                 os.path.join(td, "bench.obj"), query_fn=query_fn,
-                 query_weights=fw)
-        t_mesh = time.time() - t0
-        log(f"gen_mesh (first, incl. compiles) {t_mesh:.1f}s")
-        # second run reflects steady-state (compile cache warm)
-        t0 = time.time()
-        gen_mesh(cfg, model, params, data,
-                 os.path.join(td, "bench2.obj"), query_fn=query_fn,
-                 query_weights=fw)
-        t_mesh = time.time() - t0
-        log(f"gen_mesh (steady-state) {t_mesh:.1f}s")
+        save_obj_mesh(os.path.join(td, "bench.obj"), verts, faces)
+        t_obj = time.time() - t0
+    # x2: the pipeline extracts and writes both the HR and LR meshes
+    t_mesh = t_eval + 2 * (t_mc + t_obj)
+    log(f"sec/mesh = {t_mesh:.2f} (eval {t_eval:.2f} + 2x(mc {t_mc:.2f} "
+        f"+ obj {t_obj:.2f})), {faces.shape[0]} faces")
 
     result = {
         "metric": "occupancy_queries_per_sec",

@@ -1,0 +1,25 @@
+"""Persistent XLA compilation cache.
+
+On this class of TPU deployment, compilation goes through a remote
+service and can take minutes for the big fused programs; the persistent
+cache makes every subsequent process start warm. Call
+:func:`enable_compilation_cache` before building any jitted program.
+"""
+
+from __future__ import annotations
+
+import os
+
+DEFAULT_DIR = os.path.join(os.path.dirname(__file__), "..", "..",
+                           ".jax_cache")
+
+
+def enable_compilation_cache(path: str | None = None) -> str:
+    import jax
+
+    path = os.path.abspath(path or os.environ.get(
+        "SURS_COMPILATION_CACHE", DEFAULT_DIR))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return path
