@@ -181,22 +181,83 @@ int surs_marching_tetrahedra(const float* vol, int64_t X, int64_t Y,
 
 void surs_free(void* p) { std::free(p); }
 
+namespace {
+
+// fast '%.4f' formatter (round-half-away like printf for our value range)
+inline char* fmt_fixed4(char* p, double v) {
+  if (v < 0) {
+    *p++ = '-';
+    v = -v;
+  }
+  long long scaled = (long long)(v * 10000.0 + 0.5);
+  long long ip = scaled / 10000;
+  int fp = (int)(scaled % 10000);
+  char tmp[24];
+  int n = 0;
+  do {
+    tmp[n++] = (char)('0' + ip % 10);
+    ip /= 10;
+  } while (ip);
+  while (n) *p++ = tmp[--n];
+  *p++ = '.';
+  *p++ = (char)('0' + fp / 1000);
+  *p++ = (char)('0' + (fp / 100) % 10);
+  *p++ = (char)('0' + (fp / 10) % 10);
+  *p++ = (char)('0' + fp % 10);
+  return p;
+}
+
+inline char* fmt_int(char* p, long long v) {
+  char tmp[24];
+  int n = 0;
+  do {
+    tmp[n++] = (char)('0' + v % 10);
+    v /= 10;
+  } while (v);
+  while (n) *p++ = tmp[--n];
+  return p;
+}
+
+}  // namespace
+
 // ASCII OBJ writer byte-compatible with the reference's save_obj_mesh
 // (lib/mesh_util.py:53-61): '%.4f' vertices, 'f v0 v2 v1' winding swap.
 int surs_write_obj(const char* path, const double* verts, int64_t nverts,
                    const int64_t* faces, int64_t nfaces) {
-  FILE* f = std::fopen(path, "w");
+  FILE* f = std::fopen(path, "wb");
   if (!f) return 1;
-  std::vector<char> buf(1 << 22);
-  std::setvbuf(f, buf.data(), _IOFBF, buf.size());
-  for (int64_t i = 0; i < nverts; ++i)
-    std::fprintf(f, "v %.4f %.4f %.4f\n", verts[3 * i], verts[3 * i + 1],
-                 verts[3 * i + 2]);
-  for (int64_t i = 0; i < nfaces; ++i)
-    std::fprintf(f, "f %lld %lld %lld\n",
-                 (long long)(faces[3 * i] + 1),
-                 (long long)(faces[3 * i + 2] + 1),
-                 (long long)(faces[3 * i + 1] + 1));
+  const size_t CAP = 1 << 22;
+  std::vector<char> buf(CAP + 256);
+  char* p = buf.data();
+  auto flush_if = [&](size_t need) {
+    if ((size_t)(p - buf.data()) + need > CAP) {
+      std::fwrite(buf.data(), 1, p - buf.data(), f);
+      p = buf.data();
+    }
+  };
+  for (int64_t i = 0; i < nverts; ++i) {
+    flush_if(96);
+    *p++ = 'v';
+    *p++ = ' ';
+    p = fmt_fixed4(p, verts[3 * i]);
+    *p++ = ' ';
+    p = fmt_fixed4(p, verts[3 * i + 1]);
+    *p++ = ' ';
+    p = fmt_fixed4(p, verts[3 * i + 2]);
+    *p++ = '\n';
+  }
+  for (int64_t i = 0; i < nfaces; ++i) {
+    flush_if(80);
+    *p++ = 'f';
+    *p++ = ' ';
+    p = fmt_int(p, (long long)(faces[3 * i] + 1));
+    *p++ = ' ';
+    p = fmt_int(p, (long long)(faces[3 * i + 2] + 1));
+    *p++ = ' ';
+    p = fmt_int(p, (long long)(faces[3 * i + 1] + 1));
+    *p++ = '\n';
+  }
+  std::fwrite(buf.data(), 1, p - buf.data(), f);
   std::fclose(f);
   return 0;
 }
