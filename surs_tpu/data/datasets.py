@@ -31,7 +31,8 @@ from .sampling import MeshData, sample_points_and_labels
 
 class TrainDataset:
     def __init__(self, cfg, phase: str = "train", mesh_cache: int = 8,
-                 contains_fn=None, sample_cache_dir: str = None):
+                 contains_fn=None, sample_cache_dir: str = None,
+                 yaw_list=None):
         self.cfg = cfg
         self.is_train = phase == "train"
         self.root = cfg.dataroot
@@ -47,7 +48,8 @@ class TrainDataset:
         self.projection_mode = "orthogonal"
         self.B_MIN = np.asarray(cfg.b_min, dtype=float)
         self.B_MAX = np.asarray(cfg.b_max, dtype=float)
-        self.yaw_list = list(range(0, 360, 1))
+        self.yaw_list = list(yaw_list) if yaw_list is not None \
+            else list(range(0, 360, 1))
         self.pitch_list = [0]
         self.subjects = self._get_subjects()
         self._mesh_cache: OrderedDict = OrderedDict()
@@ -96,41 +98,59 @@ class TrainDataset:
         yid = tmp % len(self.yaw_list)
         pid = tmp // len(self.yaw_list)
         subject = os.path.splitext(self.subjects[sid])[0]
-        vid = self.yaw_list[yid]
         pitch = self.pitch_list[pid]
 
-        param = np.load(os.path.join(self.PARAM, subject,
-                                     f"{vid}_{pitch}_00.npy"),
-                        allow_pickle=True).item()
-        render, mask = load_render_mask(
-            self._find(self.RENDER, subject, vid, pitch),
-            self._find(self.MASK, subject, vid, pitch,
-                       exts=("png", "jpg")))
-
-        S = self.cfg.loadSize
-        if self.is_train:
-            pad = int(0.1 * S)
-            aug = sample_aug_params(rng, render.size[0] + 2 * pad,
-                                    render.size[1] + 2 * pad, S,
-                                    self.cfg.random_flip,
-                                    self.cfg.random_scale,
-                                    self.cfg.random_trans)
+        # multi-view: ids evenly distributed around yid (reference
+        # lib/data/TrainDataset_LR_v2.py:210-213)
+        V = self.cfg.num_views
+        n_yaw = len(self.yaw_list)
+        if self.cfg.random_multiview and self.is_train:
+            vids = list(rng.choice(self.yaw_list, V, replace=False))
         else:
-            aug = AugParams()
-        calib, extrinsic = calib_from_param(param, S, aug)
+            vids = [self.yaw_list[(yid + n_yaw // V * off) % n_yaw]
+                    for off in range(V)]
 
-        img_hr, img_lr, mask_hr, mask_lr = process_render(
-            render, mask, S, self.is_train, aug, rng,
-            self.cfg.aug_bri, self.cfg.aug_con, self.cfg.aug_sat,
-            self.cfg.aug_hue, self.cfg.aug_blur)
+        views = {k: [] for k in ("img_HR", "img_LR", "mask_HR", "mask_LR",
+                                 "calib", "extrinsic")}
+        S = self.cfg.loadSize
+        for vid in vids:
+            param = np.load(os.path.join(self.PARAM, subject,
+                                         f"{vid}_{pitch}_00.npy"),
+                            allow_pickle=True).item()
+            render, mask = load_render_mask(
+                self._find(self.RENDER, subject, vid, pitch),
+                self._find(self.MASK, subject, vid, pitch,
+                           exts=("png", "jpg")))
+            if self.is_train:
+                pad = int(0.1 * S)
+                aug = sample_aug_params(rng, render.size[0] + 2 * pad,
+                                        render.size[1] + 2 * pad, S,
+                                        self.cfg.random_flip,
+                                        self.cfg.random_scale,
+                                        self.cfg.random_trans)
+            else:
+                aug = AugParams()
+            calib, extrinsic = calib_from_param(param, S, aug)
+            img_hr, img_lr, mask_hr, mask_lr = process_render(
+                render, mask, S, self.is_train, aug, rng,
+                self.cfg.aug_bri, self.cfg.aug_con, self.cfg.aug_sat,
+                self.cfg.aug_hue, self.cfg.aug_blur)
+            for k, v in (("img_HR", img_hr), ("img_LR", img_lr),
+                         ("mask_HR", mask_hr), ("mask_LR", mask_lr),
+                         ("calib", calib), ("extrinsic", extrinsic)):
+                views[k].append(v)
+
+        def pack(key):
+            arrs = views[key]
+            return arrs[0] if V == 1 else np.stack(arrs, axis=0)
 
         item = {
             "name": subject,
             "sid": sid, "yid": yid, "pid": pid,
             "b_min": self.B_MIN, "b_max": self.B_MAX,
-            "img_HR": img_hr, "img_LR": img_lr,
-            "mask_HR": mask_hr, "mask_LR": mask_lr,
-            "calib": calib, "extrinsic": extrinsic,
+            "img_HR": pack("img_HR"), "img_LR": pack("img_LR"),
+            "mask_HR": pack("mask_HR"), "mask_LR": pack("mask_LR"),
+            "calib": pack("calib"), "extrinsic": pack("extrinsic"),
         }
         if self.cfg.num_sample_inout:
             cached = self._load_cached_samples(subject, rng)
@@ -168,7 +188,12 @@ class TrainDataset:
 
 class EvalDataset:
     """Real-image eval set: masked LR tensor only, fixed ortho calib
-    (lib/data/EvalDataset_LR_v2.py:221-254)."""
+    (lib/data/EvalDataset_LR_v2.py:221-254).
+
+    Also supports the reference's single-image mode: when cfg.img_path /
+    cfg.mask_path are set (lib/options.py:164-165), the dataset contains
+    exactly that one image.
+    """
 
     def __init__(self, cfg, phase: str = "test"):
         self.cfg = cfg
@@ -178,7 +203,11 @@ class EvalDataset:
         self.projection_mode = "orthogonal"
         self.B_MIN = np.asarray(cfg.b_min, dtype=float)
         self.B_MAX = np.asarray(cfg.b_max, dtype=float)
-        self.subjects = sorted(os.listdir(self.RENDER))
+        self.single = bool(cfg.img_path)
+        if self.single:
+            self.subjects = [os.path.basename(cfg.img_path)]
+        else:
+            self.subjects = sorted(os.listdir(self.RENDER))
 
     def __len__(self):
         return len(self.subjects)
@@ -193,9 +222,14 @@ class EvalDataset:
                     return p
             raise FileNotFoundError(os.path.join(folder, name))
 
-        render, mask = load_render_mask(
-            find(self.RENDER, ("jpg", "png")), find(self.MASK,
-                                                    ("png", "jpg")))
+        if self.single:
+            mask_path = self.cfg.mask_path or find(self.MASK,
+                                                   ("png", "jpg"))
+            render, mask = load_render_mask(self.cfg.img_path, mask_path)
+        else:
+            render, mask = load_render_mask(
+                find(self.RENDER, ("jpg", "png")),
+                find(self.MASK, ("png", "jpg")))
         arr = np.asarray(render, dtype=np.float32) / 255.0
         arr = (arr - 0.5) / 0.5
         m = (np.asarray(mask, dtype=np.float32) / 255.0)[..., None]

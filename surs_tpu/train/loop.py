@@ -27,22 +27,41 @@ from .checkpoint import CheckpointManager
 
 
 def batch_to_device(batch: Dict) -> Dict[str, jnp.ndarray]:
-    """Map dataset keys -> model kwargs, labels to [B, N, 1]."""
+    """Map dataset keys -> model kwargs, labels to [B, N, 1].
+
+    Multi-view batches arrive as [B, V, ...]; images/calibs collapse to
+    [B*V, ...] and sample points repeat per view, the equivalent of the
+    reference's reshape_multiview_tensors / reshape_sample_tensor
+    (lib/train_util.py:14-51).
+    """
+    img_lr = np.asarray(batch["img_LR"])
+    img_hr = np.asarray(batch["img_HR"])
+    calib = np.asarray(batch["calib"])
+    pts_lr = np.asarray(batch["samples_LR"])
+    pts_hr = np.asarray(batch["samples_HR"])
+    if img_lr.ndim == 5:                     # [B, V, H, W, C]
+        V = img_lr.shape[1]
+        img_lr = img_lr.reshape((-1,) + img_lr.shape[2:])
+        img_hr = img_hr.reshape((-1,) + img_hr.shape[2:])
+        calib = calib.reshape((-1,) + calib.shape[2:])
+        pts_lr = np.repeat(pts_lr, V, axis=0)
+        pts_hr = np.repeat(pts_hr, V, axis=0)
     return {
-        "images_lr": jnp.asarray(batch["img_LR"]),
-        "images_hr": jnp.asarray(batch["img_HR"]),
-        "points_lr": jnp.asarray(batch["samples_LR"]),
-        "points_hr": jnp.asarray(batch["samples_HR"]),
-        "calibs": jnp.asarray(batch["calib"]),
+        "images_lr": jnp.asarray(img_lr),
+        "images_hr": jnp.asarray(img_hr),
+        "points_lr": jnp.asarray(pts_lr),
+        "points_hr": jnp.asarray(pts_hr),
+        "calibs": jnp.asarray(calib),
         "labels_lr": jnp.asarray(
             np.swapaxes(batch["labels_disp"], 1, 2)),
         "labels_hr": jnp.asarray(np.swapaxes(batch["labels_HR"], 1, 2)),
     }
 
 
-def train(cfg: SuRSConfig, max_iters: Optional[int] = None) -> None:
-    train_dataset = TrainDataset(cfg, phase="train")
-    test_dataset = TrainDataset(cfg, phase="test")
+def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
+          yaw_list=None) -> None:
+    train_dataset = TrainDataset(cfg, phase="train", yaw_list=yaw_list)
+    test_dataset = TrainDataset(cfg, phase="test", yaw_list=yaw_list)
     loader = DataLoader(train_dataset, batch_size=cfg.batch_size,
                         shuffle=not cfg.serial_batches,
                         num_threads=cfg.num_threads, seed=cfg.seed)
