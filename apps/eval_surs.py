@@ -14,19 +14,16 @@ import sys
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
                                                 "..")))
 
-import numpy as np  # noqa: E402
 
 
 def main():
     import jax
     from surs_tpu.config import parse_config, print_config
     from surs_tpu.data import EvalDataset
-    from surs_tpu.models import SuRSNet, surs_net_from_config
+    from surs_tpu.models import surs_net_from_config
     from surs_tpu.ops.fused_mlp import prepare_fused_weights
     from surs_tpu.ops.point_query import make_fused_query_fn
     from surs_tpu.recon import gen_mesh
-    from surs_tpu.train import (make_optimizer, create_train_state,
-                                CheckpointManager)
     from surs_tpu.compat.torch_import import load_params
 
     cfg = parse_config()

@@ -12,7 +12,6 @@ number is the ``vs_baseline`` denominator in bench.py (see BASELINE.md).
 import json
 import time
 
-import numpy as np
 import torch
 import torch.nn.functional as F
 

@@ -188,7 +188,6 @@ def load_params(cfg, model):
     from ..train.optim import make_optimizer
     from ..train.step import create_train_state
     from ..train.checkpoint import CheckpointManager
-    from ..models.surs_net import SuRSNet
 
     rng = np.random.default_rng(cfg.seed)
     S = cfg.loadSize // 2

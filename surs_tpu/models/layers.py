@@ -12,7 +12,7 @@ and values to the reference.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 import flax.linen as nn

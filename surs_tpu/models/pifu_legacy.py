@@ -20,7 +20,7 @@ full model-family surface:
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -15,7 +15,7 @@ single-subject and batched paths share semantics and tests.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 import numpy as np
 import jax

@@ -22,9 +22,8 @@ calibration flips y and keeps z sign, lib/data/TrainDataset_LR_v2.py:
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 

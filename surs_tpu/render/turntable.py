@@ -7,7 +7,7 @@ mesh with the JAX rasterizer and save an animated GIF.
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 from PIL import Image

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..config import SuRSConfig
 from ..data import TrainDataset, DataLoader
-from ..models import SuRSNet, surs_net_from_config
+from ..models import surs_net_from_config
 from ..recon import gen_mesh, save_samples_truncted_prob
 from .optim import make_optimizer, lr_for_epoch, set_learning_rate
 from .step import create_train_state, make_train_step

@@ -9,7 +9,7 @@ over ICI — the NCCL-equivalent the reference lacks (SURVEY.md §2.3).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

@@ -4,8 +4,7 @@ import numpy as np
 import pytest
 
 from surs_tpu.data import (AugParams, calib_from_param, sample_surface,
-                           sample_points_and_labels, MeshData, DataLoader,
-                           collate)
+                           sample_points_and_labels, MeshData, DataLoader)
 from surs_tpu.ops.containment import contains
 
 

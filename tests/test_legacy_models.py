@@ -3,7 +3,6 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from surs_tpu.models.pifu_legacy import (MultiConvFilter, VGGStyleFilter,
                                          ResNetStyleFilter, ConvPIFuNet,

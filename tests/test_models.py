@@ -8,7 +8,6 @@ of the documented layer semantics — no reference code is imported.
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 import torch
 import torch.nn.functional as F
 

@@ -3,11 +3,10 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 
 from surs_tpu.config import SuRSConfig
 from surs_tpu.models import SuRSNet
-from surs_tpu.parallel import (make_mesh, shard_batch, replicate_tree,
+from surs_tpu.parallel import (make_mesh, replicate_tree,
                                batch_sharding, point_sharding)
 from surs_tpu.train import make_optimizer, create_train_state, \
     make_train_step

@@ -9,8 +9,7 @@ import jax.numpy as jnp
 import pytest
 
 from surs_tpu.recon import (create_grid, grid_matrix, eval_grid_octree,
-                            eval_grid_dense, extract_isosurface,
-                            save_obj_mesh, load_obj,
+                            eval_grid_dense, save_obj_mesh, load_obj,
                             save_samples_truncted_prob)
 from surs_tpu.recon import native
 from surs_tpu.recon.tetra import marching_tetrahedra as mt_numpy

@@ -3,7 +3,7 @@
 import numpy as np
 import jax.numpy as jnp
 
-from surs_tpu.render import (rasterize, OrthoCamera, fit_camera,
+from surs_tpu.render import (rasterize, fit_camera,
                              yaw_pitch_rotation, vertex_normals,
                              sh9_basis, lambert_shading, render_views)
 from tests.test_data import cube_mesh
