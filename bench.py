@@ -85,13 +85,16 @@ def main():
     query_fn = make_fused_query_fn(cfg.loadSize, cfg.z_size,
                                    use_pallas=on_tpu)
 
-    # ---- queries/sec on 50k chunks ----
+    # ---- queries/sec on 50k chunks (the production query program —
+    # shared with the octree evaluator's compile cache) ----
+    from surs_tpu.recon.pipeline import Reconstructor
+    rec = Reconstructor(model, query_fn=query_fn)
+    weights = fw if query_fn is not None else params
     chunk = cfg.num_samples
-    pts = jnp.asarray((rng.random((1, 3, chunk)) - 0.5).astype(np.float32))
+    pts = jnp.asarray((rng.random((3, chunk)) - 0.5).astype(np.float32))
 
-    @jax.jit
     def q(p):
-        return query_fn(fw, feats_lr, feat_hr, p, calib)
+        return rec.query_points(weights, feats_lr, feat_hr, calib, p)
 
     t0 = time.time()
     jax.block_until_ready(q(pts))  # compile
@@ -110,15 +113,13 @@ def main():
     # (A random-weight occupancy field hovers at 0.5 everywhere, which
     # would make every cell surface-active — a degenerate MC workload —
     # so the host stages are timed on a sphere of the same resolution.)
-    from surs_tpu.recon.pipeline import Reconstructor
     from surs_tpu.recon.marching import extract_isosurface
     from surs_tpu.recon.mesh_io import save_obj_mesh
 
-    rec = Reconstructor(model, query_fn=query_fn)
     calib_b = np.asarray(calib)
     t0 = time.time()
     sdf_hr, sdf_lr, mat = rec.evaluate(
-        fw if query_fn is not None else params, feats_lr, feat_hr,
+        weights, feats_lr, feat_hr,
         calib_b, cfg.resolution, np.asarray(cfg.b_min),
         np.asarray(cfg.b_max), num_samples=cfg.num_samples,
         threshold=cfg.threshold,
@@ -127,7 +128,7 @@ def main():
     log(f"field eval (first, incl. compiles) {time.time() - t0:.1f}s")
     t0 = time.time()
     sdf_hr, sdf_lr, mat = rec.evaluate(
-        fw if query_fn is not None else params, feats_lr, feat_hr,
+        weights, feats_lr, feat_hr,
         calib_b, cfg.resolution, np.asarray(cfg.b_min),
         np.asarray(cfg.b_max), num_samples=cfg.num_samples,
         threshold=cfg.threshold,

@@ -29,7 +29,12 @@ def collate(items: Sequence[Dict]) -> Dict:
 class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = True,
                  num_threads: int = 1, prefetch: int = 2,
-                 seed: int = 0, drop_last: bool = True):
+                 seed: int = 0, drop_last: bool = True,
+                 resample_on_error: bool = False, max_retries: int = 8):
+        """``resample_on_error`` implements the reference's documented
+        failure-recovery contract (lib/data/BaseDataset.py:24-45): an item
+        that raises (missing file, IO error) is replaced by a random
+        other item instead of killing the epoch."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -37,7 +42,20 @@ class DataLoader:
         self.prefetch = max(1, prefetch)
         self.seed = seed
         self.drop_last = drop_last
+        self.resample_on_error = resample_on_error
+        self.max_retries = max_retries
         self._epoch = 0
+
+    def _get(self, i: int):
+        if not self.resample_on_error:
+            return self.dataset[i]
+        rng = np.random.default_rng(self.seed * 1000003 + i)
+        for _ in range(self.max_retries):
+            try:
+                return self.dataset[i]
+            except Exception:
+                i = int(rng.integers(len(self.dataset)))
+        return self.dataset[i]  # final attempt surfaces the error
 
     def __len__(self):
         n = len(self.dataset)
@@ -57,7 +75,7 @@ class DataLoader:
         self._epoch += 1
         if self.num_threads <= 1 and self.prefetch <= 1:
             for b in batches:
-                yield collate([self.dataset[i] for i in b])
+                yield collate([self._get(i) for i in b])
             return
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
@@ -68,7 +86,7 @@ class DataLoader:
                 for b in batches:
                     if stop.is_set():
                         return
-                    q.put(collate([self.dataset[i] for i in b]))
+                    q.put(collate([self._get(i) for i in b]))
             except Exception as e:  # surface loader errors to the consumer
                 q.put(e)
             finally:

@@ -79,6 +79,19 @@ class Reconstructor:
         """images [B, S, S, 3] -> (img_sr, feats_lr, feat_hr), jitted."""
         return self._encode(params, images)
 
+    def query_points(self, weights, feats_lr, feat_hr, calib,
+                     points: jnp.ndarray):
+        """Evaluate (hr, lr) occupancy at points [3, C] with the same
+        compiled program the host-loop octree evaluator uses (shared
+        cache entry — one compile serves both)."""
+        key = ("hl-query", points.shape[1])
+        if key not in self._cache:
+            self._cache[key] = jax.jit(
+                lambda pts, ctx: self._eval_fn(pts, ctx))
+        ctx = {"weights": weights, "feats_lr": feats_lr,
+               "feat_hr": feat_hr, "calib": jnp.asarray(calib)}
+        return self._cache[key](points, ctx)
+
     def evaluate(self, weights, feats_lr, feat_hr, calib, resolution: int,
                  b_min, b_max, use_octree: bool = True,
                  num_samples: int = 50000, threshold: float = 0.05,

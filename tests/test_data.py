@@ -134,3 +134,21 @@ def test_loader_shuffles_between_epochs():
     e1 = list(dl)[0]["name"]
     e2 = list(dl)[0]["name"]
     assert e1 != e2
+
+
+class _FlakyDataset:
+    def __len__(self):
+        return 10
+
+    def __getitem__(self, i):
+        if i % 2 == 1:
+            raise IOError(f"missing file for {i}")
+        return {"x": np.full((2,), i, dtype=np.float32)}
+
+
+def test_loader_resamples_on_error():
+    dl = DataLoader(_FlakyDataset(), batch_size=5, shuffle=False,
+                    resample_on_error=True, seed=3)
+    batch = list(dl)[0]
+    assert batch["x"].shape == (5, 2)
+    assert (batch["x"][:, 0] % 2 == 0).all()  # only even items survive
