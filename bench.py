@@ -99,11 +99,15 @@ def main():
     t0 = time.time()
     jax.block_until_ready(q(pts))  # compile
     log(f"query compiled in {time.time() - t0:.1f}s")
+    # chain iterations through a data dependency so the runtime cannot
+    # elide or overlap-away unconsumed executions
     n_iters = max(1, n_query // chunk)
+    carry = jnp.zeros((3, 1), jnp.float32)
     t0 = time.time()
     for _ in range(n_iters):
-        out = q(pts)
-    jax.block_until_ready(out)
+        hr, lr = q(pts + carry * 1e-20)
+        carry = hr[:1].reshape(1, 1) * jnp.ones((3, 1), jnp.float32)
+    jax.block_until_ready(carry)
     dt = time.time() - t0
     qps = n_iters * chunk / dt
     log(f"qps = {qps:.0f}")

@@ -144,6 +144,7 @@ class SuRSConfig:
     mesh_axis_data: str = "data"    # device-mesh axis for batch sharding
     mesh_axis_points: str = "points"  # device-mesh axis for query sharding
     use_pallas: bool = True         # fused Pallas point-query MLP
+    mask_prune: bool = False        # visual-hull octree pre-pruning
     octree_init_resolution: int = 64
     use_octree: bool = True
     profile_dir: Optional[str] = None

@@ -235,5 +235,6 @@ class EvalDataset:
         m = (np.asarray(mask, dtype=np.float32) / 255.0)[..., None]
         img_lr = (arr * m)[None]                     # [1, H, W, 3]
         calib = np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32)[None]
-        return {"name": name, "img_LR": img_lr, "calib": calib,
-                "b_min": self.B_MIN, "b_max": self.B_MAX}
+        return {"name": name, "img_LR": img_lr, "mask_LR": m,
+                "calib": calib, "b_min": self.B_MIN,
+                "b_max": self.B_MAX}

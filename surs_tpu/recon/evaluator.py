@@ -120,7 +120,8 @@ def eval_grid_octree(eval_fn: EvalFn, resolution: int, mat: np.ndarray,
                      threshold: float, init_resolution: int = 64,
                      num_samples: int = 50000, ctx: Any = None,
                      jit: bool = True,
-                     cache: Optional[Dict] = None
+                     cache: Optional[Dict] = None,
+                     init_dirty: Optional[jnp.ndarray] = None
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Coarse-to-fine evaluation of the (hr, lr) occupancy fields.
 
@@ -132,7 +133,8 @@ def eval_grid_octree(eval_fn: EvalFn, resolution: int, mat: np.ndarray,
     mat = np.asarray(mat)
     sdf_hr = jnp.zeros((R, R, R), jnp.float32)
     sdf_lr = jnp.zeros((R, R, R), jnp.float32)
-    dirty = jnp.ones((R, R, R), bool)
+    dirty = (init_dirty if init_dirty is not None
+             else jnp.ones((R, R, R), bool))
 
     cache = cache if cache is not None else {}
     base_key = ("oct", R, num_samples, float(threshold), mat.tobytes())
@@ -155,11 +157,62 @@ def eval_grid_octree(eval_fn: EvalFn, resolution: int, mat: np.ndarray,
     return sdf_hr, sdf_lr
 
 
+def silhouette_dirty_mask(mask_img: jnp.ndarray, calib, resolution: int,
+                          mat: np.ndarray, dilate: int = 3,
+                          chunk: int = 1 << 20) -> jnp.ndarray:
+    """Visual-hull pre-pruning of the evaluation grid (VaxNeRF-style).
+
+    Voxels whose center projects outside the (dilated) 2D silhouette are
+    provably outside the reconstruction, so they start clean with
+    occupancy 0 (the evaluator's default fill) and are never queried.
+    The reference has no such pruning; on real subjects this removes the
+    large majority of grid points before the first network query.
+
+    mask_img: [H, W] or [H, W, 1] binary silhouette; calib [1, 4, 4].
+    Returns a [R, R, R] bool dirty mask (True = still unknown).
+    """
+    from ..ops.geometry import orthogonal
+    from ..ops.grid_sample import grid_sample_points
+
+    R = resolution
+    mask = jnp.asarray(mask_img, jnp.float32)
+    if mask.ndim == 2:
+        mask = mask[..., None]
+    if dilate > 0:
+        pad = dilate
+        m4 = mask[None]
+        window = (1, 2 * pad + 1, 2 * pad + 1, 1)
+        m4 = jax.lax.reduce_window(m4, -jnp.inf, jax.lax.max, window,
+                                   (1, 1, 1, 1), "SAME")
+        mask = m4[0]
+    mat = np.asarray(mat)
+
+    def run(mask, calib):
+        R3 = R * R * R
+        n_chunks = (R3 + chunk - 1) // chunk
+
+        def body(c, dirty_flat):
+            idx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            idx_c = jnp.minimum(idx, R3 - 1)
+            pts = flat_index_to_world(idx_c, R, 1, mat)
+            xyz = orthogonal(pts[None], calib)
+            uv = jnp.swapaxes(xyz[:, :2, :], 1, 2)
+            hit = grid_sample_points(mask[None], uv)[0, :, 0] > 0.0
+            return dirty_flat.at[idx_c].set(hit)
+
+        dirty = jax.lax.fori_loop(0, n_chunks, body,
+                                  jnp.zeros((R3,), bool))
+        return dirty.reshape(R, R, R)
+
+    return jax.jit(run)(mask, jnp.asarray(calib))
+
+
 def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
                               mat: np.ndarray, threshold: float,
                               init_resolution: int = 64,
                               num_samples: int = 50000, ctx: Any = None,
-                              cache: Optional[Dict] = None
+                              cache: Optional[Dict] = None,
+                              init_dirty: Optional[jnp.ndarray] = None
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Octree evaluation with a host-driven chunk loop.
 
@@ -178,7 +231,8 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
     cache = cache if cache is not None else {}
     sdf_hr = jnp.zeros((R, R, R), jnp.float32)
     sdf_lr = jnp.zeros((R, R, R), jnp.float32)
-    dirty = jnp.ones((R, R, R), bool)
+    dirty = (init_dirty if init_dirty is not None
+             else jnp.ones((R, R, R), bool))
 
     def get(key, builder):
         if key not in cache:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..models.surs_net import SuRSNet
 from .grid import grid_matrix
 from .evaluator import (eval_grid_octree, eval_grid_octree_hostloop,
-                        eval_grid_dense)
+                        eval_grid_dense, silhouette_dirty_mask)
 from .marching import extract_isosurface
 from .mesh_io import save_obj_mesh
 
@@ -96,13 +96,24 @@ class Reconstructor:
                  b_min, b_max, use_octree: bool = True,
                  num_samples: int = 50000, threshold: float = 0.05,
                  init_resolution: int = 64,
-                 transform: Optional[np.ndarray] = None):
-        """Evaluate both occupancy fields; returns (sdf_hr, sdf_lr, mat)."""
+                 transform: Optional[np.ndarray] = None,
+                 silhouette: Optional[jnp.ndarray] = None,
+                 silhouette_dilate: int = 3):
+        """Evaluate both occupancy fields; returns (sdf_hr, sdf_lr, mat).
+
+        ``silhouette``: optional [H, W(, 1)] binary mask enabling visual
+        -hull pre-pruning — voxels projecting outside it are never
+        queried (occupancy 0)."""
         mat = grid_matrix((resolution,) * 3, b_min, b_max)
         if transform is not None:
             mat = np.asarray(transform) @ mat
         ctx = {"weights": weights, "feats_lr": feats_lr,
                "feat_hr": feat_hr, "calib": jnp.asarray(calib)}
+        init_dirty = None
+        if silhouette is not None:
+            init_dirty = silhouette_dirty_mask(
+                silhouette, np.asarray(calib), resolution, mat,
+                dilate=silhouette_dilate)
         if use_octree:
             octree = (eval_grid_octree_hostloop
                       if self.octree_mode == "hostloop"
@@ -110,7 +121,7 @@ class Reconstructor:
             sdf_hr, sdf_lr = octree(
                 self._eval_fn, resolution, mat, threshold,
                 init_resolution=init_resolution, num_samples=num_samples,
-                ctx=ctx, cache=self._cache)
+                ctx=ctx, cache=self._cache, init_dirty=init_dirty)
         else:
             sdf_hr, sdf_lr = eval_grid_dense(
                 self._eval_fn, resolution, mat, num_samples=num_samples,
@@ -122,14 +133,16 @@ class Reconstructor:
                     num_samples: int = 50000, threshold: float = 0.05,
                     init_resolution: int = 64,
                     transform: Optional[np.ndarray] = None,
-                    level: float = 0.5):
+                    level: float = 0.5,
+                    silhouette: Optional[jnp.ndarray] = None):
         """Full evaluation + host isosurface extraction.
 
         Returns (verts_hr, faces_hr, verts_lr, faces_lr), world coords.
         """
         sdf_hr, sdf_lr, mat = self.evaluate(
             weights, feats_lr, feat_hr, calib, resolution, b_min, b_max,
-            use_octree, num_samples, threshold, init_resolution, transform)
+            use_octree, num_samples, threshold, init_resolution, transform,
+            silhouette=silhouette)
 
         def extract(sdf):
             verts, faces = extract_isosurface(np.asarray(sdf), level)
@@ -149,11 +162,15 @@ class Reconstructor:
         img_lr = jnp.asarray(data["img_LR"])
         _, feats_lr, feat_hr = self.encode(params, img_lr)
         calib = eval_calibration(img_lr.shape[0])
+        silhouette = None
+        if getattr(cfg, "mask_prune", False) and "mask_LR" in data:
+            silhouette = jnp.asarray(data["mask_LR"])
         verts_hr, faces_hr, verts_lr, faces_lr = self.reconstruct(
             weights, feats_lr, feat_hr, calib, cfg.resolution,
             data["b_min"], data["b_max"], use_octree=use_octree,
             num_samples=cfg.num_samples, threshold=cfg.threshold,
-            init_resolution=cfg.octree_init_resolution)
+            init_resolution=cfg.octree_init_resolution,
+            silhouette=silhouette)
         path_hr = save_path[:-4] + "_HR.obj"
         path_lr = save_path[:-4] + "_LR.obj"
         save_obj_mesh(path_hr, verts_hr, faces_hr)

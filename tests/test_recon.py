@@ -228,3 +228,43 @@ def test_octree_hostloop_matches_fused():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(hl_lr), np.asarray(fused_lr),
                                atol=1e-6)
+
+
+def test_silhouette_pruning():
+    """Visual-hull pre-pruning: voxels outside the mask are never queried
+    and end at occupancy 0; the in-silhouette region still evaluates."""
+    import jax.numpy as jnp
+    from surs_tpu.recon.evaluator import (silhouette_dirty_mask,
+                                          eval_grid_octree_hostloop)
+    R = 16
+    mat = grid_matrix((R, R, R), np.array([-0.5] * 3), np.array([0.5] * 3))
+    # silhouette: a centered square occupying uv in [-0.5, 0.5]
+    S = 64
+    yy, xx = np.mgrid[:S, :S]
+    m = ((np.abs(xx - (S - 1) / 2) < S / 4)
+         & (np.abs(yy - (S - 1) / 2) < S / 4)).astype(np.float32)
+    calib = np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32)[None]
+    dirty0 = silhouette_dirty_mask(jnp.asarray(m), calib, R, mat, dilate=0)
+    d = np.asarray(dirty0)
+    assert 0 < d.sum() < R ** 3
+    # x=0.4 -> u=0.8 outside the half-width-0.5 square
+    # world->voxel: (x + 0.5) * R
+    assert not d[int((0.4 + 0.5) * R), R // 2, R // 2]
+    assert d[R // 2, R // 2, R // 2]
+
+    calls = {"n": 0}
+
+    def eval_fn(points, ctx):
+        calls["n"] += 1  # trace count (compiles once per level shape)
+        r = jnp.linalg.norm(points, axis=0)
+        return ((r < 0.35).astype(jnp.float32),
+                (r < 0.3).astype(jnp.float32))
+
+    hr, lr = eval_grid_octree_hostloop(eval_fn, R, mat, 0.05,
+                                       init_resolution=8, num_samples=128,
+                                       init_dirty=dirty0)
+    hr = np.asarray(hr)
+    # outside-silhouette region was never filled with inside values
+    assert hr[int((0.45 + 0.5) * R) % R, R // 2, R // 2] == 0.0
+    # inside the silhouette the sphere evaluates normally near center
+    assert hr[R // 2, R // 2, R // 2] == 1.0
