@@ -49,7 +49,8 @@ def main():
     for idx in range(len(dataset)):
         data = dataset[idx]
         save_path = os.path.join(out_dir, f"{data['name']}.obj")
-        gen_mesh(cfg, model, params, data, save_path, query_fn=query_fn,
+        gen_mesh(cfg, model, params, data, save_path,
+                 use_octree=cfg.use_octree, query_fn=query_fn,
                  query_weights=fw)
         print("saved", save_path)
 

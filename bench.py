@@ -93,24 +93,10 @@ def main():
     chunk = cfg.num_samples
     pts = jnp.asarray((rng.random((3, chunk)) - 0.5).astype(np.float32))
 
-    def q(p):
-        return rec.query_points(weights, feats_lr, feat_hr, calib, p)
-
     t0 = time.time()
-    jax.block_until_ready(q(pts))  # compile
+    jax.block_until_ready(
+        rec.query_points(weights, feats_lr, feat_hr, calib, pts))
     log(f"query compiled in {time.time() - t0:.1f}s")
-    # chain iterations through a data dependency so the runtime cannot
-    # elide or overlap-away unconsumed executions
-    n_iters = max(1, n_query // chunk)
-    carry = jnp.zeros((3, 1), jnp.float32)
-    t0 = time.time()
-    for _ in range(n_iters):
-        hr, lr = q(pts + carry * 1e-20)
-        carry = hr[:1].reshape(1, 1) * jnp.ones((3, 1), jnp.float32)
-    jax.block_until_ready(carry)
-    dt = time.time() - t0
-    qps = n_iters * chunk / dt
-    log(f"qps = {qps:.0f}")
 
     # ---- end-to-end mesh: device field evaluation (real model) +
     # host marching tetrahedra / OBJ write on a realistic surface.
@@ -140,6 +126,19 @@ def main():
     jax.block_until_ready(sdf_hr)
     t_eval = time.time() - t0
     log(f"field eval (steady-state) {t_eval:.2f}s")
+    stats = {}
+    t0 = time.time()
+    sdf_hr, sdf_lr, mat = rec.evaluate(
+        weights, feats_lr, feat_hr,
+        calib_b, cfg.resolution, np.asarray(cfg.b_min),
+        np.asarray(cfg.b_max), num_samples=cfg.num_samples,
+        threshold=cfg.threshold,
+        init_resolution=cfg.octree_init_resolution, stats_out=stats)
+    jax.block_until_ready(sdf_hr)
+    t_eval = time.time() - t0
+    qps = stats.get("queries", 0) / max(t_eval, 1e-9)
+    log(f"octree qps = {qps:.0f} ({stats.get('queries', 0)} queries / "
+        f"{t_eval:.2f}s)")
 
     R = cfg.resolution
     g = np.mgrid[:R, :R, :R].astype(np.float32) - (R - 1) / 2

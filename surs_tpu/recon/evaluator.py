@@ -212,7 +212,8 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
                               init_resolution: int = 64,
                               num_samples: int = 50000, ctx: Any = None,
                               cache: Optional[Dict] = None,
-                              init_dirty: Optional[jnp.ndarray] = None
+                              init_dirty: Optional[jnp.ndarray] = None,
+                              stats_out: Optional[Dict] = None
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Octree evaluation with a host-driven chunk loop.
 
@@ -284,6 +285,11 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
 
         compact, na = compact_fn(dirty)
         na_host = int(na)
+        if stats_out is not None:
+            stats_out.setdefault("queries", 0)
+            stats_out.setdefault("chunks", 0)
+            stats_out["queries"] += na_host
+            stats_out["chunks"] += -(-na_host // C) if na_host else 0
         for c in range(0, na_host, C):
             start = jnp.int32(c)
             idx, pts = points_fn(compact, start)

@@ -98,7 +98,8 @@ class Reconstructor:
                  init_resolution: int = 64,
                  transform: Optional[np.ndarray] = None,
                  silhouette: Optional[jnp.ndarray] = None,
-                 silhouette_dilate: int = 3):
+                 silhouette_dilate: int = 3,
+                 stats_out: Optional[Dict] = None):
         """Evaluate both occupancy fields; returns (sdf_hr, sdf_lr, mat).
 
         ``silhouette``: optional [H, W(, 1)] binary mask enabling visual
@@ -118,10 +119,12 @@ class Reconstructor:
             octree = (eval_grid_octree_hostloop
                       if self.octree_mode == "hostloop"
                       else eval_grid_octree)
+            kw = {"stats_out": stats_out} \
+                if self.octree_mode == "hostloop" else {}
             sdf_hr, sdf_lr = octree(
                 self._eval_fn, resolution, mat, threshold,
                 init_resolution=init_resolution, num_samples=num_samples,
-                ctx=ctx, cache=self._cache, init_dirty=init_dirty)
+                ctx=ctx, cache=self._cache, init_dirty=init_dirty, **kw)
         else:
             sdf_hr, sdf_lr = eval_grid_dense(
                 self._eval_fn, resolution, mat, num_samples=num_samples,

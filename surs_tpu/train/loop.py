@@ -24,6 +24,7 @@ from ..recon import gen_mesh, save_samples_truncted_prob
 from .optim import make_optimizer, lr_for_epoch, set_learning_rate
 from .step import create_train_state, make_train_step
 from .checkpoint import CheckpointManager
+from ..utils.profiling import Profiler
 
 
 def batch_to_device(batch: Dict) -> Dict[str, jnp.ndarray]:
@@ -88,6 +89,8 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
         start_epoch = max(cfg.resume_epoch, 0)
 
     os.makedirs(os.path.join(cfg.results_path, cfg.name), exist_ok=True)
+    profiler = Profiler(cfg.profile_dir)
+    profiler.start()
 
     lr = cfg.learning_rate
     iters_done = 0
@@ -134,6 +137,7 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
             iters_done += 1
             if max_iters is not None and iters_done >= max_iters:
                 ckpt.save(state, epoch)
+                profiler.stop()
                 return
         ckpt.save(state, epoch)
 
@@ -145,7 +149,8 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
                 save_path = os.path.join(
                     cfg.results_path, cfg.name,
                     f"test_eval_epoch{epoch}_{data['name']}.obj")
-                gen_mesh(cfg, model, state.params, data, save_path)
+                gen_mesh(cfg, model, state.params, data, save_path,
+                         use_octree=cfg.use_octree)
             print("generate mesh (train) ...")
             train_dataset.is_train = False
             for gen_idx in range(cfg.num_gen_mesh_test):
@@ -154,5 +159,6 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
                 save_path = os.path.join(
                     cfg.results_path, cfg.name,
                     f"train_eval_epoch{epoch}_{data['name']}.obj")
-                gen_mesh(cfg, model, state.params, data, save_path)
+                gen_mesh(cfg, model, state.params, data, save_path,
+                         use_octree=cfg.use_octree)
             train_dataset.is_train = True
