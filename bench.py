@@ -98,6 +98,26 @@ def main():
         rec.query_points(weights, feats_lr, feat_hr, calib, pts))
     log(f"query compiled in {time.time() - t0:.1f}s")
 
+    # ---- primary metric: dense occupancy-query throughput ----
+    # one compiled program (fori_loop over 50k chunks) evaluating every
+    # point of a fixed R_dense^3 grid — workload-independent, no dispatch
+    # or elision artifacts
+    R_dense = 128 if on_tpu else 32
+    dense_args = (weights, feats_lr, feat_hr, calib_b := np.asarray(calib),
+                  R_dense, np.asarray(cfg.b_min), np.asarray(cfg.b_max))
+    t0 = time.time()
+    d_hr, d_lr, _ = rec.evaluate(*dense_args, use_octree=False,
+                                 num_samples=chunk)
+    jax.block_until_ready(d_hr)
+    log(f"dense eval compiled+ran in {time.time() - t0:.1f}s")
+    t0 = time.time()
+    d_hr, d_lr, _ = rec.evaluate(*dense_args, use_octree=False,
+                                 num_samples=chunk)
+    jax.block_until_ready(d_hr)
+    t_dense = time.time() - t0
+    qps = R_dense ** 3 / t_dense
+    log(f"dense qps = {qps:.0f} ({R_dense}^3 points / {t_dense:.2f}s)")
+
     # ---- end-to-end mesh: device field evaluation (real model) +
     # host marching tetrahedra / OBJ write on a realistic surface.
     # (A random-weight occupancy field hovers at 0.5 everywhere, which
@@ -105,8 +125,6 @@ def main():
     # so the host stages are timed on a sphere of the same resolution.)
     from surs_tpu.recon.marching import extract_isosurface
     from surs_tpu.recon.mesh_io import save_obj_mesh
-
-    calib_b = np.asarray(calib)
     t0 = time.time()
     sdf_hr, sdf_lr, mat = rec.evaluate(
         weights, feats_lr, feat_hr,
@@ -136,9 +154,8 @@ def main():
         init_resolution=cfg.octree_init_resolution, stats_out=stats)
     jax.block_until_ready(sdf_hr)
     t_eval = time.time() - t0
-    qps = stats.get("queries", 0) / max(t_eval, 1e-9)
-    log(f"octree qps = {qps:.0f} ({stats.get('queries', 0)} queries / "
-        f"{t_eval:.2f}s)")
+    oct_queries = stats.get("queries", 0)
+    log(f"octree: {oct_queries} queries in {t_eval:.2f}s")
 
     R = cfg.resolution
     g = np.mgrid[:R, :R, :R].astype(np.float32) - (R - 1) / 2
@@ -166,6 +183,9 @@ def main():
             "resolution": cfg.resolution,
             "encode_sec_first_call": round(t_encode, 3),
             "chunk": chunk,
+            "dense_grid": R_dense,
+            "octree_queries": oct_queries,
+            "octree_eval_sec": round(t_eval, 3),
         },
     }
     print(json.dumps(result))
