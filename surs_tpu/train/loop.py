@@ -107,9 +107,11 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
             iter_start = time.time()
             batch = batch_to_device(raw)
             state, metrics = step_fn(state, batch)
-            err = float(metrics["total"])
+            # only sync on the loss when logging — a per-step device
+            # fetch would serialize the async dispatch pipeline
             iter_net = time.time()
             if idx % cfg.freq_plot == 0:
+                err = float(metrics["total"])
                 eta = ((iter_net - epoch_start) / (idx + 1)) * len(loader) \
                     - (iter_net - epoch_start)
                 print(f"Name: {cfg.name} | Epoch: {epoch} | {idx}/"
