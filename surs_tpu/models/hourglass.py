@@ -20,7 +20,8 @@ them by name.
 
 from __future__ import annotations
 
-from typing import List
+import functools
+from typing import Any, List
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -34,19 +35,22 @@ class HourGlass(nn.Module):
     depth: int
     features: int
     norm: str = "group"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        CB = functools.partial(ConvBlock, self.features, self.norm,
+                               self.dtype)
+
         def level(lv, inp):
-            up1 = ConvBlock(self.features, self.norm, name=f"b1_{lv}")(inp, train)
+            up1 = CB(name=f"b1_{lv}")(inp, train)
             low1 = avg_pool_2x(inp)
-            low1 = ConvBlock(self.features, self.norm, name=f"b2_{lv}")(low1, train)
+            low1 = CB(name=f"b2_{lv}")(low1, train)
             if lv > 1:
                 low2 = level(lv - 1, low1)
             else:
-                low2 = ConvBlock(self.features, self.norm,
-                                 name=f"b2_plus_{lv}")(low1, train)
-            low3 = ConvBlock(self.features, self.norm, name=f"b3_{lv}")(low2, train)
+                low2 = CB(name=f"b2_plus_{lv}")(low1, train)
+            low3 = CB(name=f"b3_{lv}")(low2, train)
             up2 = bicubic_upsample(low3, 2, align_corners=True)
             return up1 + up2
 
@@ -62,35 +66,40 @@ class HGFilter(nn.Module):
     down_type: str = "low_res"   # low_res | high_res | conv64
     use_sigmoid: bool = False    # reference quirk: applies Tanh when True
                                  # (HGFilters.py:198-199); SuRS passes False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False) -> List[jnp.ndarray]:
         outputs: List[jnp.ndarray] = []
+        dt = self.dtype
+        x = x.astype(dt)
 
         if self.down_type == "high_res":
-            outputs.append(conv(self.last_ch, 1, name="conv5")(x))
+            outputs.append(conv(self.last_ch, 1, name="conv5",
+                                dtype=dt)(x))
             return outputs
 
         if self.down_type == "low_res":
-            x = ConvBlock(256, self.norm, name="conv2")(x, train)
+            x = ConvBlock(256, self.norm, dt, name="conv2")(x, train)
         elif self.down_type == "conv64":
-            x = ConvBlock(64, self.norm, name="conv2")(x, train)
-            x = conv(128, 3, stride=2, pad=1, name="down_conv2")(x)
+            x = ConvBlock(64, self.norm, dt, name="conv2")(x, train)
+            x = conv(128, 3, stride=2, pad=1, name="down_conv2",
+                     dtype=dt)(x)
         else:
             raise ValueError(f"unknown down_type {self.down_type!r}")
 
         previous = x
         for i in range(self.num_stack):
-            hg = HourGlass(self.depth, 256, self.norm, name=f"m{i}")(
+            hg = HourGlass(self.depth, 256, self.norm, dt, name=f"m{i}")(
                 previous, train)
-            ll = ConvBlock(256, self.norm, name=f"top_m_{i}")(hg, train)
-            ll = conv(256, 1, name=f"conv_last{i}")(ll)
-            ll = nn.relu(Norm(self.norm, name=f"bn_end{i}")(ll, train))
-            tmp_out = conv(self.last_ch, 1, name=f"l{i}")(ll)
+            ll = ConvBlock(256, self.norm, dt, name=f"top_m_{i}")(hg, train)
+            ll = conv(256, 1, name=f"conv_last{i}", dtype=dt)(ll)
+            ll = nn.relu(Norm(self.norm, dt, name=f"bn_end{i}")(ll, train))
+            tmp_out = conv(self.last_ch, 1, name=f"l{i}", dtype=dt)(ll)
             outputs.append(jnp.tanh(tmp_out) if self.use_sigmoid else tmp_out)
             if i < self.num_stack - 1:
-                ll = conv(256, 1, name=f"bl{i}")(ll)
-                tmp_out_ = conv(256, 1, name=f"al{i}")(tmp_out)
+                ll = conv(256, 1, name=f"bl{i}", dtype=dt)(ll)
+                tmp_out_ = conv(256, 1, name=f"al{i}", dtype=dt)(tmp_out)
                 previous = previous + ll + tmp_out_
 
         return outputs

@@ -12,7 +12,7 @@ and values to the reference.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 import flax.linen as nn
@@ -46,7 +46,7 @@ class Norm(nn.Module):
     running-average momentum equivalent to torch's 0.1.
     """
     kind: str = "group"
-    dtype = jnp.float32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -57,8 +57,9 @@ class Norm(nn.Module):
                 return 1.0 + nn.initializers.normal(0.02)(key, shape, dtype)
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                 epsilon=1e-5, scale_init=scale_init,
-                                name="bn")(x)
-        return nn.GroupNorm(num_groups=32, epsilon=1e-5, name="gn")(x)
+                                dtype=self.dtype, name="bn")(x)
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
+                            name="gn")(x)
 
 
 class ConvBlock(nn.Module):
@@ -70,30 +71,31 @@ class ConvBlock(nn.Module):
     """
     out_planes: int
     norm: str = "group"
-    dtype = jnp.float32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_planes = x.shape[-1]
         half = self.out_planes // 2
         quarter = self.out_planes // 4
+        dt = self.dtype
 
-        out1 = nn.relu(Norm(self.norm, name="bn1")(x, train))
-        out1 = conv3x3(half, name="conv1")(out1)
+        out1 = nn.relu(Norm(self.norm, dt, name="bn1")(x, train))
+        out1 = conv3x3(half, name="conv1", dtype=dt)(out1)
 
-        out2 = nn.relu(Norm(self.norm, name="bn2")(out1, train))
-        out2 = conv3x3(quarter, name="conv2")(out2)
+        out2 = nn.relu(Norm(self.norm, dt, name="bn2")(out1, train))
+        out2 = conv3x3(quarter, name="conv2", dtype=dt)(out2)
 
-        out3 = nn.relu(Norm(self.norm, name="bn3")(out2, train))
-        out3 = conv3x3(quarter, name="conv3")(out3)
+        out3 = nn.relu(Norm(self.norm, dt, name="bn3")(out2, train))
+        out3 = conv3x3(quarter, name="conv3", dtype=dt)(out3)
 
         out = jnp.concatenate([out1, out2, out3], axis=-1)
 
-        residual = x
+        residual = x.astype(out.dtype)
         if in_planes != self.out_planes:
-            residual = nn.relu(Norm(self.norm, name="bn4")(x, train))
+            residual = nn.relu(Norm(self.norm, dt, name="bn4")(x, train))
             residual = conv(self.out_planes, 1, use_bias=False,
-                            name="downsample_conv")(residual)
+                            name="downsample_conv", dtype=dt)(residual)
         return out + residual
 
 
@@ -102,13 +104,14 @@ class ResBlock(nn.Module):
     (lib/model/common.py:14-33). kernel 3, bias=True, res_scale 1."""
     n_feat: int
     res_scale: float = 1.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = conv(self.n_feat, 3, pad=1, name="conv0")(x)
+        h = conv(self.n_feat, 3, pad=1, name="conv0", dtype=self.dtype)(x)
         h = nn.relu(h)
-        h = conv(self.n_feat, 3, pad=1, name="conv1")(h)
-        return x + h * self.res_scale
+        h = conv(self.n_feat, 3, pad=1, name="conv1", dtype=self.dtype)(h)
+        return x.astype(h.dtype) + h * self.res_scale
 
 
 def leaky_relu_02(x):

@@ -57,17 +57,22 @@ class SuRSNet(nn.Module):
     w_mlp2: float = 1.0
     w_sr: float = 1.0
     w_disp: float = 1.0
+    # conv-trunk compute dtype ('float32' | 'bfloat16'); params stay f32
+    # and the point MLPs always run f32
+    dtype: str = "float32"
 
     def setup(self):
+        import jax.numpy as _jnp
+        dt = _jnp.bfloat16 if self.dtype == "bfloat16" else _jnp.float32
         self.super_resolution = SuRSSR(n_block=tuple(self.n_block),
                                        residual=self.residual,
-                                       scale=self.scale)
+                                       scale=self.scale, dtype=dt)
         self.image_filter_lr = HGFilter(self.num_stack_lr, self.hg_depth,
                                         self.hg_dim, self.norm, "low_res",
-                                        use_sigmoid=False)
+                                        use_sigmoid=False, dtype=dt)
         self.image_filter_hr = HGFilter(self.num_stack_hr, self.hg_depth,
                                         64, self.norm, "high_res",
-                                        use_sigmoid=False)
+                                        use_sigmoid=False, dtype=dt)
         self.mlp_lr = SurfaceClassifier(tuple(self.mlp_dim_lr),
                                         self.num_views, self.no_residual,
                                         tuple(self.mlp_res_layers_lr))
@@ -102,10 +107,13 @@ class SuRSNet(nn.Module):
         return jnp.swapaxes(xy, 1, 2), jnp.swapaxes(z_feat, 1, 2), mask
 
     def _point_features(self, feats_lr, feat_hr, uv, z_feat):
-        """Per-stack pixel-aligned features: cat(lr_i, hr, z) [B,N,321]."""
-        hr_samp = grid_sample_points(feat_hr, uv)
+        """Per-stack pixel-aligned features: cat(lr_i, hr, z) [B,N,321]
+        — always f32 (occupancy precision is independent of the conv
+        trunk's compute dtype)."""
+        hr_samp = grid_sample_points(feat_hr.astype(jnp.float32), uv)
         return [jnp.concatenate(
-                    [grid_sample_points(f, uv), hr_samp, z_feat], axis=-1)
+                    [grid_sample_points(f.astype(jnp.float32), uv),
+                     hr_samp, z_feat], axis=-1)
                 for f in feats_lr]
 
     def query_mr(self, feats_lr: List[jnp.ndarray], feat_hr: jnp.ndarray,
@@ -200,4 +208,4 @@ def surs_net_from_config(cfg) -> SuRSNet:
         n_block=tuple(cfg.n_block), residual=cfg.residual, scale=cfg.scale,
         load_size=cfg.loadSize, z_size=cfg.z_size,
         w_mlp1=cfg.mlp1, w_mlp2=cfg.mlp2, w_sr=cfg.srweight,
-        w_disp=cfg.dispweight)
+        w_disp=cfg.dispweight, dtype=cfg.dtype)

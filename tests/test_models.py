@@ -185,3 +185,20 @@ def test_surs_net_out_of_image_points_masked(rng):
                                  far, calib, method=SuRSNet.query)
     np.testing.assert_array_equal(np.asarray(pred_hr), 0.0)
     np.testing.assert_array_equal(np.asarray(pred_lr), 0.0)
+
+
+def test_surs_net_bf16_trunk(rng):
+    """bfloat16 conv trunk: finite outputs close to the f32 path."""
+    import jax
+    batch = tiny_batch(rng)
+    net32 = tiny_net()
+    params = net32.init(jax.random.PRNGKey(0), *batch, train=True)["params"]
+    net16 = SuRSNet(load_size=32, num_stack_lr=2, dtype="bfloat16")
+    p_hr32, _, p_lr32, _ = net32.apply({"params": params}, *batch,
+                                       train=True)
+    p_hr16, _, p_lr16, _ = net16.apply({"params": params}, *batch,
+                                       train=True)
+    assert p_hr16.dtype == jnp.float32  # query path stays f32
+    assert np.isfinite(np.asarray(p_hr16)).all()
+    np.testing.assert_allclose(np.asarray(p_hr16), np.asarray(p_hr32),
+                               atol=0.15)
