@@ -212,12 +212,17 @@ def load_params(cfg, model):
         print("WARNING: no checkpoint given — using random init")
         return params
     if os.path.isdir(path):
+        # an orbax train-state dir: .../<ckpt_root>/<name>/netG_{latest,
+        # epoch_N}
         optimizer = make_optimizer(cfg)
         state = create_train_state(model, optimizer,
                                    jax.random.PRNGKey(0), sample)
-        mgr = CheckpointManager(*os.path.split(os.path.abspath(path)))
-        state = mgr.restore(state, None) if path.endswith("netG_latest") \
-            else mgr.restore(state, None)
+        tag = os.path.basename(os.path.normpath(path))
+        parent = os.path.dirname(os.path.abspath(os.path.normpath(path)))
+        mgr = CheckpointManager(*os.path.split(parent))
+        epoch = int(tag[len("netG_epoch_"):]) \
+            if tag.startswith("netG_epoch_") else None
+        state = mgr.restore(state, epoch)
         return state.params
     params, n = load_torch_checkpoint(path, params, strict=False)
     print(f"imported {n} tensors from torch checkpoint {path}")

@@ -1,0 +1,75 @@
+"""Eval CLI path: checkpoint-dir param loading + EvalDataset + gen_mesh."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+from PIL import Image
+
+from surs_tpu.config import SuRSConfig
+from surs_tpu.compat.torch_import import load_params
+from surs_tpu.models import surs_net_from_config
+from surs_tpu.train import (make_optimizer, create_train_state,
+                            CheckpointManager)
+
+
+def small_cfg(tmp_path, **kw):
+    return SuRSConfig(loadSize=32, num_stack_lr=2, resolution=16,
+                      num_samples=256, octree_init_resolution=8,
+                      b_min=[-1.0] * 3, b_max=[1.0] * 3,
+                      checkpoints_path=str(tmp_path / "ckpt"),
+                      results_path=str(tmp_path / "res"), **kw)
+
+
+def test_load_params_from_orbax_dir(tmp_path, rng):
+    cfg = small_cfg(tmp_path)
+    model = surs_net_from_config(cfg)
+    # create + save a train state the way the training loop does
+    opt = make_optimizer(cfg)
+    import jax.numpy as jnp
+    S = cfg.loadSize // 2
+    sample = {
+        "images_lr": jnp.asarray(
+            rng.standard_normal((1, S, S, 3)).astype(np.float32)),
+        "images_hr": jnp.asarray(
+            rng.standard_normal((1, 2 * S, 2 * S, 3)).astype(np.float32)),
+        "points_lr": jnp.asarray(
+            (rng.random((1, 3, 8)) - 0.5).astype(np.float32)),
+        "points_hr": jnp.asarray(
+            (rng.random((1, 3, 8)) - 0.5).astype(np.float32)),
+        "calibs": jnp.asarray(
+            np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32))[None],
+    }
+    state = create_train_state(model, opt, jax.random.PRNGKey(7), sample)
+    mgr = CheckpointManager(cfg.checkpoints_path, "exp")
+    mgr.save(state, epoch=2)
+
+    for tag in ("netG_latest", "netG_epoch_2"):
+        cfg2 = small_cfg(tmp_path, load_netG_checkpoint_path=os.path.join(
+            cfg.checkpoints_path, "exp", tag))
+        params = load_params(cfg2, model)
+        ref = np.asarray(jax.tree.leaves(state.params)[0])
+        got = np.asarray(jax.tree.leaves(params)[0])
+        np.testing.assert_allclose(got, ref)
+
+
+def test_eval_dataset_single_image(tmp_path, rng):
+    img = (rng.random((20, 20, 3)) * 255).astype(np.uint8)
+    mask = np.zeros((20, 20), np.uint8)
+    mask[5:15, 5:15] = 255
+    img_p = str(tmp_path / "person.png")
+    mask_p = str(tmp_path / "person_mask.png")
+    Image.fromarray(img).save(img_p)
+    Image.fromarray(mask).save(mask_p)
+
+    cfg = small_cfg(tmp_path, img_path=img_p, mask_path=mask_p)
+    from surs_tpu.data import EvalDataset
+    ds = EvalDataset(cfg)
+    assert len(ds) == 1
+    item = ds[0]
+    assert item["name"] == "person"
+    assert item["img_LR"].shape == (1, 20, 20, 3)
+    assert item["mask_LR"].shape == (20, 20, 1)
+    # masked region zeroed
+    assert float(np.abs(item["img_LR"][0, 0, 0]).sum()) == 0.0
