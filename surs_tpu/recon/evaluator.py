@@ -240,8 +240,33 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
             cache[key] = jax.jit(builder())
         return cache[key]
 
-    qkey = ("hl-query", C)
-    query = get(qkey, lambda: (lambda pts, ctx: eval_fn(pts, ctx)))
+    # Single chunk program shared by ALL levels: the lattice size L and
+    # stride reso enter as traced scalars (integer arithmetic only), so
+    # one compile of the expensive query program serves the whole
+    # coarse-to-fine schedule — and every chunk is one dispatch.
+    def chunk_builder():
+        def f(sdf_hr, sdf_lr, dirty, compact, start, na, L, reso, ctx):
+            idx = lax.dynamic_slice(compact, (start,), (C,))
+            kg = idx % L
+            jg = (idx // L) % L
+            ig = idx // (L * L)
+            ijk = (jnp.stack([ig, jg, kg]).astype(jnp.float32)
+                   * reso.astype(jnp.float32))
+            scale = jnp.asarray(np.diag(mat[:3, :3]), jnp.float32)
+            offset = jnp.asarray(mat[:3, 3], jnp.float32)
+            pts = ijk * scale[:, None] + offset[:, None]
+            hr, lr = eval_fn(pts, ctx)
+            valid = (start + jnp.arange(C, dtype=jnp.int32)) < na
+            i = jnp.where(valid, ig * reso, R)
+            j = jg * reso
+            k = kg * reso
+            sdf_hr = sdf_hr.at[i, j, k].set(hr, mode="drop")
+            sdf_lr = sdf_lr.at[i, j, k].set(lr, mode="drop")
+            dirty = dirty.at[i, j, k].set(False, mode="drop")
+            return sdf_hr, sdf_lr, dirty
+        return f
+
+    chunk_fn = get(("hl-chunk", R, C, mat.tobytes()), chunk_builder)
 
     base = ("hl", R, C, float(threshold), mat.tobytes())
     reso = R // init_resolution
@@ -255,33 +280,15 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
                 na = jnp.sum(flat.astype(jnp.int32))
                 pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
                 target = jnp.where(flat, pos, L3)
-                compact = jnp.zeros((L3 + C,), jnp.int32).at[target].set(
+                # fixed R^3+C length so the chunk program's shape is
+                # level-independent (compiled once for all levels)
+                compact = jnp.zeros((R * R * R + C,), jnp.int32)
+                compact = compact.at[target].set(
                     jnp.arange(L3, dtype=jnp.int32), mode="drop")
                 return compact, na
             return f
 
-        def points_builder(reso=reso, L=L):
-            def f(compact, start):
-                idx = lax.dynamic_slice(compact, (start,), (C,))
-                return idx, flat_index_to_world(idx, L, reso, mat)
-            return f
-
-        def scatter_builder(reso=reso, L=L):
-            def f(sdf_hr, sdf_lr, dirty, idx, hr, lr, start, na):
-                valid = (start + jnp.arange(C, dtype=jnp.int32)) < na
-                k = (idx % L) * reso
-                j = ((idx // L) % L) * reso
-                i = (idx // (L * L)) * reso
-                i = jnp.where(valid, i, R)
-                sdf_hr = sdf_hr.at[i, j, k].set(hr, mode="drop")
-                sdf_lr = sdf_lr.at[i, j, k].set(lr, mode="drop")
-                dirty = dirty.at[i, j, k].set(False, mode="drop")
-                return sdf_hr, sdf_lr, dirty
-            return f
-
         compact_fn = get(base + ("compact", reso), compact_builder)
-        points_fn = get(base + ("points", reso), points_builder)
-        scatter_fn = get(base + ("scatter", reso), scatter_builder)
 
         compact, na = compact_fn(dirty)
         na_host = int(na)
@@ -290,12 +297,12 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
             stats_out.setdefault("chunks", 0)
             stats_out["queries"] += na_host
             stats_out["chunks"] += -(-na_host // C) if na_host else 0
+        Lj = jnp.int32(L)
+        resoj = jnp.int32(reso)
         for c in range(0, na_host, C):
-            start = jnp.int32(c)
-            idx, pts = points_fn(compact, start)
-            hr, lr = query(pts, ctx)
-            sdf_hr, sdf_lr, dirty = scatter_fn(sdf_hr, sdf_lr, dirty,
-                                               idx, hr, lr, start, na)
+            sdf_hr, sdf_lr, dirty = chunk_fn(
+                sdf_hr, sdf_lr, dirty, compact, jnp.int32(c), na, Lj,
+                resoj, ctx)
         if reso <= 1:
             break
         pkey = base + ("prune", reso)
