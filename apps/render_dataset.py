@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""Render a training dataset (RENDER/MASK/PARAM) from GEO/OBJ meshes.
+
+TPU-native replacement for the reference's offline OpenGL PRT rendering
+step (reference README.md:27 "render the training data following PIFu";
+lib/renderer/gl/*). Uses the JAX rasterizer — no GL/EGL context needed.
+
+  python apps/render_dataset.py --dataroot ./data --loadSize 512 \
+      --yaw_step 1
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                "..")))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataroot", required=True,
+                    help="root containing GEO/OBJ/<subject>_HR.obj")
+    ap.add_argument("--loadSize", type=int, default=512)
+    ap.add_argument("--yaw_step", type=int, default=1)
+    ap.add_argument("--patch", type=int, default=16,
+                    help="rasterizer per-face patch (px)")
+    ap.add_argument("--subjects", nargs="*", default=None)
+    args = ap.parse_args()
+
+    from surs_tpu.render import render_dataset
+    render_dataset(os.path.join(args.dataroot, "GEO", "OBJ"),
+                   args.dataroot, load_size=args.loadSize,
+                   yaw_step=args.yaw_step, patch=args.patch,
+                   subjects=args.subjects)
+
+
+if __name__ == "__main__":
+    main()
