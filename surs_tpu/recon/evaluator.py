@@ -215,26 +215,18 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
                               init_dirty: Optional[jnp.ndarray] = None,
                               stats_out: Optional[Dict] = None
                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Octree evaluation with a host-driven chunk loop — scatter-free.
+    """Octree evaluation with a host-driven chunk loop.
 
-    Numerically identical to :func:`eval_grid_octree`, engineered for two
-    TPU realities: (a) compilation of the query program is expensive, so
-    it is compiled ONCE (level parameters L/reso enter as traced
-    scalars); (b) XLA scatters are slow on TPU, so the level update uses
-    only gathers, cumsums, contiguous buffer writes and repeat+mask
-    merges:
-
-      * compaction: pos = cumsum(dirty_lattice); the j-th dirty index is
-        searchsorted(pos, j+1) — a gather-based binary search;
-      * chunk results land in a contiguous per-level buffer
-        (dynamic_update_slice);
-      * the merge gathers each lattice point's result via pos-1 and
-        writes the full lattice back with a repeat + stride-mask select.
-
-    One host sync per level (the dirty count).
+    Numerically identical to :func:`eval_grid_octree`, but the expensive
+    query program (``eval_fn`` — gathers + fused MLPs) is compiled ONCE
+    for a fixed chunk shape and re-dispatched, while the per-level
+    programs (dirty-compaction, index->points, scatter, prune) are small
+    separate jits. On backends where compilation is expensive (remote
+    -compile TPU terminals) this cuts octree compile time by an order of
+    magnitude at the cost of a few hundred async dispatches and one
+    device->host sync per level (the dirty count).
     """
     R = resolution
-    R3 = R * R * R
     C = num_samples
     mat = np.asarray(mat)
     cache = cache if cache is not None else {}
@@ -248,12 +240,13 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
             cache[key] = jax.jit(builder())
         return cache[key]
 
-    # level-agnostic chunk program: compiled once, reused at every level
+    # Single chunk program shared by ALL levels: the lattice size L and
+    # stride reso enter as traced scalars (integer arithmetic only), so
+    # one compile of the expensive query program serves the whole
+    # coarse-to-fine schedule — and every chunk is one dispatch.
     def chunk_builder():
-        def f(pos_pad, start, na, L, reso, ctx):
-            j = start + jnp.arange(C, dtype=jnp.int32)
-            idx = jnp.searchsorted(pos_pad, j + 1, side="left")
-            idx = jnp.minimum(idx, L * L * L - 1).astype(jnp.int32)
+        def f(sdf_hr, sdf_lr, dirty, compact, start, na, L, reso, ctx):
+            idx = lax.dynamic_slice(compact, (start,), (C,))
             kg = idx % L
             jg = (idx // L) % L
             ig = idx // (L * L)
@@ -262,16 +255,18 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
             scale = jnp.asarray(np.diag(mat[:3, :3]), jnp.float32)
             offset = jnp.asarray(mat[:3, 3], jnp.float32)
             pts = ijk * scale[:, None] + offset[:, None]
-            return eval_fn(pts, ctx)
+            hr, lr = eval_fn(pts, ctx)
+            valid = (start + jnp.arange(C, dtype=jnp.int32)) < na
+            i = jnp.where(valid, ig * reso, R)
+            j = jg * reso
+            k = kg * reso
+            sdf_hr = sdf_hr.at[i, j, k].set(hr, mode="drop")
+            sdf_lr = sdf_lr.at[i, j, k].set(lr, mode="drop")
+            dirty = dirty.at[i, j, k].set(False, mode="drop")
+            return sdf_hr, sdf_lr, dirty
         return f
 
     chunk_fn = get(("hl-chunk", R, C, mat.tobytes()), chunk_builder)
-
-    def put_builder(L3):
-        def f(buf_hr, buf_lr, hr, lr, start):
-            return (lax.dynamic_update_slice(buf_hr, hr, (start,)),
-                    lax.dynamic_update_slice(buf_lr, lr, (start,)))
-        return f
 
     base = ("hl", R, C, float(threshold), mat.tobytes())
     reso = R // init_resolution
@@ -279,69 +274,35 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
         L = R // reso
         L3 = L * L * L
 
-        def compact_builder(reso=reso, L3=L3):
+        def compact_builder(reso=reso, L=L, L3=L3):
             def f(dirty):
                 flat = dirty[::reso, ::reso, ::reso].reshape(-1)
-                pos = jnp.cumsum(flat.astype(jnp.int32))
-                na = pos[-1]
-                # pad to fixed R^3 (nondecreasing) so the chunk program
-                # is shape-stable across levels
-                pos_pad = jnp.concatenate(
-                    [pos, jnp.full((R3 - L3,), jnp.int32(2 ** 30))])                     if L3 < R3 else pos
-                return pos_pad, pos, na
-            return f
-
-        def merge_builder(reso=reso, L=L):
-            def f(sdf_hr, sdf_lr, dirty, buf_hr, buf_lr, pos):
-                lat_dirty = dirty[::reso, ::reso, ::reso]
-                flat = lat_dirty.reshape(-1)
-                take = jnp.maximum(pos - 1, 0)
-                vals_hr = buf_hr[take].reshape(L, L, L)
-                vals_lr = buf_lr[take].reshape(L, L, L)
-                cur_hr = sdf_hr[::reso, ::reso, ::reso]
-                cur_lr = sdf_lr[::reso, ::reso, ::reso]
-                new_hr = jnp.where(lat_dirty, vals_hr, cur_hr)
-                new_lr = jnp.where(lat_dirty, vals_lr, cur_lr)
-
-                ax = (jnp.arange(R, dtype=jnp.int32) % reso) == 0
-                m3 = ax[:, None, None] & ax[None, :, None] & ax[None,
-                                                                None, :]
-
-                def up(x):
-                    x = jnp.repeat(x, reso, axis=0)
-                    x = jnp.repeat(x, reso, axis=1)
-                    return jnp.repeat(x, reso, axis=2)
-
-                sdf_hr = jnp.where(m3, up(new_hr), sdf_hr)
-                sdf_lr = jnp.where(m3, up(new_lr), sdf_lr)
-                dirty = jnp.where(m3, False, dirty)
-                return sdf_hr, sdf_lr, dirty
+                na = jnp.sum(flat.astype(jnp.int32))
+                pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
+                target = jnp.where(flat, pos, L3)
+                # fixed R^3+C length so the chunk program's shape is
+                # level-independent (compiled once for all levels)
+                compact = jnp.zeros((R * R * R + C,), jnp.int32)
+                compact = compact.at[target].set(
+                    jnp.arange(L3, dtype=jnp.int32), mode="drop")
+                return compact, na
             return f
 
         compact_fn = get(base + ("compact", reso), compact_builder)
-        merge_fn = get(base + ("merge", reso), merge_builder)
-        put_fn = get(base + ("put", reso), lambda L3=L3: put_builder(L3))
 
-        pos_pad, pos, na = compact_fn(dirty)
+        compact, na = compact_fn(dirty)
         na_host = int(na)
         if stats_out is not None:
             stats_out.setdefault("queries", 0)
             stats_out.setdefault("chunks", 0)
             stats_out["queries"] += na_host
             stats_out["chunks"] += -(-na_host // C) if na_host else 0
-        n_chunks = -(-na_host // C) if na_host else 0
-        buf_hr = jnp.zeros((L3 + C,), jnp.float32)
-        buf_lr = jnp.zeros((L3 + C,), jnp.float32)
         Lj = jnp.int32(L)
         resoj = jnp.int32(reso)
-        for c in range(n_chunks):
-            hr, lr = chunk_fn(pos_pad, jnp.int32(c * C), na, Lj, resoj,
-                              ctx)
-            buf_hr, buf_lr = put_fn(buf_hr, buf_lr, hr, lr,
-                                    jnp.int32(c * C))
-        if na_host:
-            sdf_hr, sdf_lr, dirty = merge_fn(sdf_hr, sdf_lr, dirty,
-                                             buf_hr, buf_lr, pos)
+        for c in range(0, na_host, C):
+            sdf_hr, sdf_lr, dirty = chunk_fn(
+                sdf_hr, sdf_lr, dirty, compact, jnp.int32(c), na, Lj,
+                resoj, ctx)
         if reso <= 1:
             break
         pkey = base + ("prune", reso)
