@@ -51,13 +51,11 @@ def main():
                          num_samples=50000,
                          b_min=[-0.5, -0.5, -0.5], b_max=[0.5, 0.5, 0.5])
         S = cfg.loadSize // 2           # 256^2 LR input
-        n_query = 1 << 21               # ~2.1M points for the qps timing
     else:                               # smoke mode for CPU-only runs
         cfg = SuRSConfig(loadSize=64, residual=True, resolution=64,
                          num_samples=4096, octree_init_resolution=16,
                          b_min=[-0.5, -0.5, -0.5], b_max=[0.5, 0.5, 0.5])
         S = cfg.loadSize // 2
-        n_query = 1 << 14
 
     model = surs_net_from_config(cfg)
     rng = np.random.default_rng(0)
