@@ -1,0 +1,116 @@
+"""Production serving: a persistent reconstruction service.
+
+The reference's only inference entry point is a batch CLI that rebuilds
+everything per run (apps/eval_SuRS.py). For deployment, this service
+loads the model once, pre-compiles the encode/query programs, and then
+turns (image, mask) pairs into OBJ mesh pairs at steady-state latency:
+
+    service = SuRSService(cfg)
+    service.warmup((256, 256))
+    paths = service.reconstruct(image_rgb, mask, "subject", out_dir)
+
+Images are HxWx3 uint8/float arrays (masked + normalized internally, the
+EvalDataset contract, lib/data/EvalDataset_LR_v2.py:227-243).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import SuRSConfig
+from .models import surs_net_from_config
+from .compat.torch_import import load_params
+from .ops.fused_mlp import prepare_fused_weights
+from .ops.point_query import make_fused_query_fn
+from .recon.pipeline import Reconstructor, eval_calibration
+from .recon.mesh_io import save_obj_mesh
+from .utils.cache import enable_compilation_cache
+
+
+def normalize_image(image: np.ndarray, mask: Optional[np.ndarray]
+                    ) -> Tuple[np.ndarray, Optional[np.ndarray]]:
+    """uint8/float image -> masked, [-1, 1]-normalized float32 NHWC."""
+    arr = np.asarray(image, np.float32)
+    if arr.max() > 1.5:
+        arr = arr / 255.0
+    arr = (arr - 0.5) / 0.5
+    m = None
+    if mask is not None:
+        m = np.asarray(mask, np.float32)
+        if m.max() > 1.5:
+            m = m / 255.0
+        if m.ndim == 2:
+            m = m[..., None]
+        arr = arr * m
+    return arr[None], m
+
+
+class SuRSService:
+    def __init__(self, cfg: SuRSConfig, params=None,
+                 compilation_cache: bool = True):
+        if compilation_cache:
+            enable_compilation_cache()
+        self.cfg = cfg
+        self.model = surs_net_from_config(cfg)
+        self.params = params if params is not None \
+            else load_params(cfg, self.model)
+        query_fn = None
+        self.weights = self.params
+        if cfg.use_pallas and jax.default_backend() != "cpu":
+            self.weights = prepare_fused_weights(
+                self.params["mlp_lr"], self.params["mlp_hr"],
+                cfg.mlp_dim_lr, cfg.mlp_dim_hr, cfg.mlp_res_layers_lr,
+                cfg.mlp_res_layers_hr)
+            query_fn = make_fused_query_fn(cfg.loadSize, cfg.z_size)
+        self.rec = Reconstructor(self.model, query_fn=query_fn)
+
+    def warmup(self, image_hw: Tuple[int, int]) -> float:
+        """Pre-compile all programs for an input shape; returns seconds."""
+        t0 = time.time()
+        img = np.zeros((1, image_hw[0], image_hw[1], 3), np.float32)
+        data = {"img_LR": img, "b_min": np.asarray(self.cfg.b_min),
+                "b_max": np.asarray(self.cfg.b_max)}
+        import tempfile
+        with tempfile.TemporaryDirectory() as td:
+            self.rec.gen_mesh(self.cfg, self.params, self.weights, data,
+                              os.path.join(td, "warmup.obj"),
+                              use_octree=self.cfg.use_octree)
+        return time.time() - t0
+
+    def reconstruct(self, image: np.ndarray, mask: Optional[np.ndarray],
+                    name: str, out_dir: str) -> Tuple[str, str]:
+        """One subject -> (<name>_HR.obj path, <name>_LR.obj path)."""
+        img, m = normalize_image(image, mask)
+        data = {"img_LR": img, "b_min": np.asarray(self.cfg.b_min),
+                "b_max": np.asarray(self.cfg.b_max)}
+        if m is not None and self.cfg.mask_prune:
+            data["mask_LR"] = m
+        os.makedirs(out_dir, exist_ok=True)
+        return self.rec.gen_mesh(self.cfg, self.params, self.weights,
+                                 data, os.path.join(out_dir, name + ".obj"),
+                                 use_octree=self.cfg.use_octree)
+
+    def fields(self, image: np.ndarray, mask: Optional[np.ndarray]):
+        """Raw (sdf_hr, sdf_lr) occupancy volumes for a subject (for
+        downstream consumers that do their own extraction)."""
+        img, m = normalize_image(image, mask)
+        _, feats_lr, feat_hr = self.rec.encode(self.params,
+                                               jnp.asarray(img))
+        calib = eval_calibration(1)
+        sil = jnp.asarray(m) if (m is not None and self.cfg.mask_prune) \
+            else None
+        sdf_hr, sdf_lr, _ = self.rec.evaluate(
+            self.weights, feats_lr, feat_hr, calib, self.cfg.resolution,
+            np.asarray(self.cfg.b_min), np.asarray(self.cfg.b_max),
+            use_octree=self.cfg.use_octree,
+            num_samples=self.cfg.num_samples,
+            threshold=self.cfg.threshold,
+            init_resolution=self.cfg.octree_init_resolution,
+            silhouette=sil)
+        return sdf_hr, sdf_lr
