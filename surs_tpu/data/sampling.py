@@ -64,6 +64,36 @@ def sample_surface(mesh: MeshData, n: int,
             + w2[:, None] * tri[:, 2]).astype(np.float64)
 
 
+def sample_surface_colors(mesh: MeshData, vert_colors: np.ndarray, n: int,
+                          sigma: float, rng: np.random.Generator
+                          ) -> Dict[str, np.ndarray]:
+    """Color-supervision sampling for the color branch.
+
+    Replacement for the reference's UV-render-based ``get_color_sampling``
+    (lib/data/TrainDataset_LR_v2.py:441-494): surface points jittered
+    along the normal by N(0, sigma), paired with barycentric-interpolated
+    vertex colors normalized to [-1, 1]. Needs only per-vertex colors —
+    no UV_RENDER/UV_POS/UV_NORMAL folders or EXR decoding.
+    """
+    areas = mesh.face_areas()
+    probs = areas / areas.sum()
+    fidx = rng.choice(len(probs), size=n, p=probs)
+    tri = mesh.verts[mesh.faces[fidx]]                  # [n, 3, 3]
+    col = np.asarray(vert_colors, np.float64)[mesh.faces[fidx]]
+    r1 = np.sqrt(rng.random(n))
+    r2 = rng.random(n)
+    w = np.stack([1.0 - r1, r1 * (1.0 - r2), r1 * r2], axis=1)  # [n, 3]
+    pts = np.einsum("nk,nkd->nd", w, tri)
+    rgb = np.einsum("nk,nkd->nd", w, col)
+    normals = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    normals /= np.maximum(np.linalg.norm(normals, axis=1, keepdims=True),
+                          1e-12)
+    offset = rng.normal(0.0, sigma, (n, 1))
+    samples = pts + offset * normals
+    return {"color_samples": samples.T.astype(np.float32),
+            "rgbs": (2.0 * rgb - 1.0).T.astype(np.float32)}
+
+
 def sample_points_and_labels(
         mesh_hr: MeshData, mesh_lr: MeshData, num_sample_inout: int,
         sigma: float, b_min: np.ndarray, b_max: np.ndarray,

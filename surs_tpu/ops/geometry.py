@@ -68,6 +68,23 @@ def normalize_depth(z: jnp.ndarray, load_size: int, z_size: float) -> jnp.ndarra
     return z * float(load_size // 2) / float(z_size)
 
 
+def image_space_rotation(xy: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
+    """Rotate uv coordinates about the image center.
+
+    Equivalent of the reference's ``imageSpaceRotation``
+    (lib/net_util.py:153-162): xy [B, 2, N] in [-1, 1], rot [B, 2]
+    (x, y) rotation angles in radians applied as a 2D rotation of the
+    normalized image plane. Returns [B, 2, N].
+    """
+    # compose the two axis angles into one in-plane rotation
+    theta = rot[:, 0] + rot[:, 1]
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    mats = jnp.stack([jnp.stack([c, -s], axis=-1),
+                      jnp.stack([s, c], axis=-1)], axis=1)  # [B, 2, 2]
+    return jnp.einsum("bij,bjn->bin", mats, xy, precision=_HI)
+
+
 def in_image_mask(xy: jnp.ndarray) -> jnp.ndarray:
     """Inside-frustum mask for uv coordinates.
 

@@ -152,3 +152,16 @@ def test_loader_resamples_on_error():
     batch = list(dl)[0]
     assert batch["x"].shape == (5, 2)
     assert (batch["x"][:, 0] % 2 == 0).all()  # only even items survive
+
+
+def test_sample_surface_colors(rng):
+    from surs_tpu.data.sampling import sample_surface_colors
+    mesh = cube_mesh(half=1.0)
+    colors = (mesh.verts + 1.0) / 2.0  # position-coded colors in [0, 1]
+    out = sample_surface_colors(mesh, colors, 500, sigma=0.0, rng=rng)
+    assert out["color_samples"].shape == (3, 500)
+    assert out["rgbs"].shape == (3, 500)
+    # with sigma 0 samples lie on the surface, and color == position code
+    pts = out["color_samples"].T
+    np.testing.assert_allclose(np.abs(pts).max(axis=1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(out["rgbs"].T, pts, atol=1e-5)

@@ -128,3 +128,17 @@ def test_in_image_mask():
                        [0.0, -1.01, 0.0, 1.0]]])  # [1, 2, 4]
     m = np.asarray(ops.in_image_mask(xy))
     np.testing.assert_array_equal(m, [[1.0, 0.0, 0.0, 1.0]])
+
+
+def test_image_space_rotation(rng):
+    import jax.numpy as jnp
+    from surs_tpu import ops
+    xy = jnp.asarray(rng.standard_normal((2, 2, 7)).astype(np.float32))
+    rot = jnp.zeros((2, 2))
+    out = np.asarray(ops.geometry.image_space_rotation(xy, rot))
+    np.testing.assert_allclose(out, np.asarray(xy), atol=1e-6)
+    # 90° rotation maps (1, 0) -> (0, 1)
+    xy1 = jnp.asarray([[[1.0], [0.0]]])
+    rot90 = jnp.asarray([[np.pi / 2, 0.0]])
+    out = np.asarray(ops.geometry.image_space_rotation(xy1, rot90))
+    np.testing.assert_allclose(out[0, :, 0], [0.0, 1.0], atol=1e-6)
