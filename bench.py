@@ -86,7 +86,8 @@ def main():
     # ---- queries/sec on 50k chunks (the production query program —
     # shared with the octree evaluator's compile cache) ----
     from surs_tpu.recon.pipeline import Reconstructor
-    rec = Reconstructor(model, query_fn=query_fn)
+    rec = Reconstructor(model, query_fn=query_fn,
+                        feature_dtype=jnp.bfloat16 if on_tpu else None)
     weights = fw if query_fn is not None else params
     chunk = cfg.num_samples
     pts = jnp.asarray((rng.random((3, chunk)) - 0.5).astype(np.float32))
@@ -184,6 +185,7 @@ def main():
             "dense_grid": R_dense,
             "octree_queries": oct_queries,
             "octree_eval_sec": round(t_eval, 3),
+            "feature_dtype": "bfloat16" if on_tpu else "float32",
         },
     }
     print(json.dumps(result))

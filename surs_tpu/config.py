@@ -141,6 +141,9 @@ class SuRSConfig:
 
     # ---- TPU-native knobs (new) ----
     dtype: str = "float32"          # compute dtype for conv trunks
+    feature_dtype: str = "float32"  # storage dtype of pixel-aligned
+                                    # feature maps at inference
+                                    # ('bfloat16' halves gather traffic)
     mesh_axis_data: str = "data"    # device-mesh axis for batch sharding
     mesh_axis_points: str = "points"  # device-mesh axis for query sharding
     use_pallas: bool = True         # fused Pallas point-query MLP

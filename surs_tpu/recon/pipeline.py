@@ -48,12 +48,17 @@ class Reconstructor:
 
     def __init__(self, model: SuRSNet,
                  query_fn: Optional[Callable] = None,
-                 octree_mode: str = "hostloop"):
+                 octree_mode: str = "hostloop",
+                 feature_dtype=None):
         self.model = model
         self.query_fn = query_fn
         # 'hostloop': one compiled query program re-dispatched per chunk
         # (fast compile); 'fused': whole level in one while_loop program
         self.octree_mode = octree_mode
+        # optional bf16 storage for the pixel-aligned feature maps:
+        # halves gather traffic in the query hot loop (~+30% qps);
+        # bilinear weighting and the MLPs still run f32
+        self.feature_dtype = feature_dtype
         self._cache: Dict = {}
 
         def encode(params, images):
@@ -79,6 +84,13 @@ class Reconstructor:
         """images [B, S, S, 3] -> (img_sr, feats_lr, feat_hr), jitted."""
         return self._encode(params, images)
 
+    def _make_ctx(self, weights, feats_lr, feat_hr, calib):
+        if self.feature_dtype is not None:
+            feats_lr = [f.astype(self.feature_dtype) for f in feats_lr]
+            feat_hr = feat_hr.astype(self.feature_dtype)
+        return {"weights": weights, "feats_lr": feats_lr,
+                "feat_hr": feat_hr, "calib": jnp.asarray(calib)}
+
     def query_points(self, weights, feats_lr, feat_hr, calib,
                      points: jnp.ndarray):
         """Evaluate (hr, lr) occupancy at points [3, C] with the same
@@ -88,9 +100,8 @@ class Reconstructor:
         if key not in self._cache:
             self._cache[key] = jax.jit(
                 lambda pts, ctx: self._eval_fn(pts, ctx))
-        ctx = {"weights": weights, "feats_lr": feats_lr,
-               "feat_hr": feat_hr, "calib": jnp.asarray(calib)}
-        return self._cache[key](points, ctx)
+        return self._cache[key](
+            points, self._make_ctx(weights, feats_lr, feat_hr, calib))
 
     def evaluate(self, weights, feats_lr, feat_hr, calib, resolution: int,
                  b_min, b_max, use_octree: bool = True,
@@ -108,8 +119,7 @@ class Reconstructor:
         mat = grid_matrix((resolution,) * 3, b_min, b_max)
         if transform is not None:
             mat = np.asarray(transform) @ mat
-        ctx = {"weights": weights, "feats_lr": feats_lr,
-               "feat_hr": feat_hr, "calib": jnp.asarray(calib)}
+        ctx = self._make_ctx(weights, feats_lr, feat_hr, calib)
         init_dirty = None
         if silhouette is not None:
             init_dirty = silhouette_dirty_mask(

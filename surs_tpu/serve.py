@@ -68,7 +68,9 @@ class SuRSService:
                 cfg.mlp_dim_lr, cfg.mlp_dim_hr, cfg.mlp_res_layers_lr,
                 cfg.mlp_res_layers_hr)
             query_fn = make_fused_query_fn(cfg.loadSize, cfg.z_size)
-        self.rec = Reconstructor(self.model, query_fn=query_fn)
+        fdt = jnp.bfloat16 if cfg.feature_dtype == "bfloat16" else None
+        self.rec = Reconstructor(self.model, query_fn=query_fn,
+                                 feature_dtype=fdt)
 
     def warmup(self, image_hw: Tuple[int, int]) -> float:
         """Pre-compile all programs for an input shape; returns seconds."""
