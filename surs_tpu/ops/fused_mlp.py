@@ -139,13 +139,44 @@ def prepare_fused_weights(params_mlp_lr, params_mlp_hr,
 
 # --------------------------------------------------------------------------
 def _mlp_chain(h_base_parts: List[jnp.ndarray], ws, bs, spec: MLPSpec,
-               compute_dtype):
+               compute_dtype, split_concat: bool = False):
     """Shared layer chain used by both the kernel body and the XLA path.
 
     h_base_parts: padded base segments ([x_pad] or [x_pad, pred_pad]).
     Returns the final layer's padded output (real value in column 0).
+
+    split_concat=True avoids materializing the residual input
+    concatenations: each segment multiplies its own weight-row block and
+    the partial products are summed (identical math — the padded weight
+    rows are laid out segment-by-segment).
     """
     n_layers = len(spec.dims) - 1
+
+    def seg_dot(parts, W, b):
+        acc = None
+        off = 0
+        for p in parts:
+            w_seg = W[off:off + p.shape[-1]]
+            d = jnp.dot(p.astype(compute_dtype), w_seg,
+                        preferred_element_type=jnp.float32)
+            acc = d if acc is None else acc + d
+            off += p.shape[-1]
+        return acc + b
+
+    if split_concat:
+        h = None
+        for i in range(n_layers):
+            if i == 0:
+                parts = list(h_base_parts)
+            elif i in spec.res_layers:
+                parts = [h] + list(h_base_parts)
+            else:
+                parts = [h]
+            h = seg_dot(parts, ws[i], bs[i])
+            if i < n_layers - 1:
+                h = jnp.where(h >= 0, h, 0.01 * h)
+        return h
+
     h = jnp.concatenate(h_base_parts, axis=-1) if len(h_base_parts) > 1 \
         else h_base_parts[0]
     for i in range(n_layers):
@@ -161,7 +192,7 @@ def _mlp_chain(h_base_parts: List[jnp.ndarray], ws, bs, spec: MLPSpec,
 
 
 def _kernel(x_ref, *refs, n_lr: int, n_hr: int, spec_lr: MLPSpec,
-            spec_hr: MLPSpec, compute_dtype):
+            spec_hr: MLPSpec, compute_dtype, split_concat: bool):
     lr_w = [refs[i][:] for i in range(n_lr)]
     lr_b = [refs[n_lr + i][:] for i in range(n_lr)]
     hr_w = [refs[2 * n_lr + i][:] for i in range(n_hr)]
@@ -170,10 +201,12 @@ def _kernel(x_ref, *refs, n_lr: int, n_hr: int, spec_lr: MLPSpec,
     out_lr_ref = refs[-1]
 
     x = x_ref[:]                                   # [TN, P0]
-    logit_lr = _mlp_chain([x], lr_w, lr_b, spec_lr, compute_dtype)
+    logit_lr = _mlp_chain([x], lr_w, lr_b, spec_lr, compute_dtype,
+                          split_concat)
     pred_lr = jax.nn.sigmoid(logit_lr[:, :1])      # [TN, 1]
     pred_pad = jnp.pad(pred_lr, ((0, 0), (0, 127)))
-    logit_hr = _mlp_chain([x, pred_pad], hr_w, hr_b, spec_hr, compute_dtype)
+    logit_hr = _mlp_chain([x, pred_pad], hr_w, hr_b, spec_hr,
+                          compute_dtype, split_concat)
     pred_hr = jax.nn.sigmoid(logit_hr[:, :1])
 
     out_hr_ref[:] = jnp.pad(pred_hr, ((0, 0), (0, 127)))
@@ -181,7 +214,8 @@ def _kernel(x_ref, *refs, n_lr: int, n_hr: int, spec_lr: MLPSpec,
 
 
 def fused_dual_mlp(x: jnp.ndarray, fw: FusedWeights, block_n: int = 512,
-                   interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                   interpret: bool = False, split_concat: bool = False
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run both occupancy MLPs over point features.
 
     x: [N, C_in] raw (unpadded) point features, C_in = dims_lr[0].
@@ -203,7 +237,8 @@ def fused_dual_mlp(x: jnp.ndarray, fw: FusedWeights, block_n: int = 512,
 
     kernel = functools.partial(_kernel, n_lr=n_lr, n_hr=n_hr,
                                spec_lr=fw.spec_lr, spec_hr=fw.spec_hr,
-                               compute_dtype=compute_dtype)
+                               compute_dtype=compute_dtype,
+                               split_concat=split_concat)
 
     grid = (Np // block_n,)
     in_specs = [pl.BlockSpec((block_n, P0), lambda i: (i, 0),

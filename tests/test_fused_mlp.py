@@ -86,3 +86,16 @@ def test_fused_query_matches_model(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_split_concat_variant_matches(mlps, rng):
+    _, _, p_lr, p_hr = mlps
+    fw = prepare_fused_weights(p_lr, p_hr, DIMS_LR, DIMS_HR)
+    x = jnp.asarray(rng.standard_normal((256, 321)).astype(np.float32))
+    base_hr, base_lr = fused_dual_mlp(x, fw, block_n=256, interpret=True)
+    sp_hr, sp_lr = fused_dual_mlp(x, fw, block_n=256, interpret=True,
+                                  split_concat=True)
+    np.testing.assert_allclose(np.asarray(sp_hr), np.asarray(base_hr),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sp_lr), np.asarray(base_lr),
+                               rtol=1e-5, atol=1e-6)
