@@ -33,6 +33,36 @@ def _batched_spec(ndim: int) -> P:
     return P(DATA_AXIS, *([None] * (ndim - 1)))
 
 
+def shard_eval_fn_over_points(eval_fn: EvalFn, mesh: Mesh) -> EvalFn:
+    """Wrap a point evaluator so each chunk's point axis is sharded over
+    the mesh's ``points`` axis — single-subject model parallelism over
+    queries (the SP analog, SURVEY.md §5). ``ctx`` (features, weights,
+    calib) is replicated; each device evaluates its slice of the chunk
+    with the fused kernel, results concatenate along the point axis with
+    no collectives inside the hot loop.
+
+    Chunk sizes must be divisible by mesh.shape['points'].
+    """
+    from ..parallel.mesh import POINT_AXIS
+
+    n_pts_axis = mesh.shape[POINT_AXIS]
+
+    def wrapped(points: jnp.ndarray, ctx: Any):
+        if n_pts_axis == 1:
+            return eval_fn(points, ctx)
+
+        def per_shard(pts_local, ctx):
+            return eval_fn(pts_local, ctx)
+
+        return shard_map(
+            per_shard, mesh=mesh,
+            in_specs=(P(None, POINT_AXIS), P()),
+            out_specs=(P(POINT_AXIS), P(POINT_AXIS)),
+            check_rep=False)(points, ctx)
+
+    return wrapped
+
+
 class ShardedReconstructor:
     """Evaluate B subjects' occupancy fields, one subject per device.
 

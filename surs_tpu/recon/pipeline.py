@@ -49,7 +49,7 @@ class Reconstructor:
     def __init__(self, model: SuRSNet,
                  query_fn: Optional[Callable] = None,
                  octree_mode: str = "hostloop",
-                 feature_dtype=None):
+                 feature_dtype=None, point_mesh=None):
         self.model = model
         self.query_fn = query_fn
         # 'hostloop': one compiled query program re-dispatched per chunk
@@ -77,6 +77,11 @@ class Reconstructor:
                     ctx["feat_hr"], pts, ctx["calib"],
                     method=SuRSNet.query)
             return hr[0], lr[0]
+        if point_mesh is not None:
+            # single-subject SP: shard each chunk's point axis over the
+            # mesh's 'points' axis (parallel/batch_recon.py)
+            from ..parallel.batch_recon import shard_eval_fn_over_points
+            eval_fn = shard_eval_fn_over_points(eval_fn, point_mesh)
         self._eval_fn = eval_fn
 
     # ------------------------------------------------------------------

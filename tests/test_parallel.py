@@ -73,3 +73,32 @@ def test_point_sharded_query(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_point_sharded_reconstructor_matches(rng):
+    """Single-subject octree with the chunk's point axis sharded over 8
+    devices matches the unsharded evaluation exactly."""
+    from surs_tpu.recon.pipeline import Reconstructor
+    model = tiny_model()
+    batch = tiny_batch(rng, B=1, N=4)
+    params = model.init(jax.random.PRNGKey(0), *[
+        batch[k] for k in ("images_lr", "images_hr", "points_lr",
+                           "points_hr", "calibs")], train=True)["params"]
+    _, feats_lr, feat_hr = model.apply({"params": params},
+                                       batch["images_lr"], train=False,
+                                       method=SuRSNet.encode)
+    calib = np.asarray(batch["calibs"][:1])
+    args = (params, feats_lr, feat_hr, calib, 16,
+            np.array([-0.5] * 3), np.array([0.5] * 3))
+    kw = dict(num_samples=256, threshold=0.05, init_resolution=8)
+
+    base = Reconstructor(model)
+    hr0, lr0, _ = base.evaluate(*args, **kw)
+
+    mesh = make_mesh(n_data=1, n_points=8)
+    sharded = Reconstructor(model, point_mesh=mesh)
+    hr1, lr1, _ = sharded.evaluate(*args, **kw)
+    np.testing.assert_allclose(np.asarray(hr1), np.asarray(hr0),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lr1), np.asarray(lr0),
+                               rtol=1e-4, atol=1e-5)
