@@ -201,10 +201,12 @@ class Reconstructor:
 _RECON_CACHE: Dict = {}
 
 
-def _get_reconstructor(model: SuRSNet, query_fn) -> Reconstructor:
-    key = (id(model), id(query_fn))
+def _get_reconstructor(model: SuRSNet, query_fn,
+                       feature_dtype=None) -> Reconstructor:
+    key = (id(model), id(query_fn), str(feature_dtype))
     if key not in _RECON_CACHE:
-        _RECON_CACHE[key] = Reconstructor(model, query_fn)
+        _RECON_CACHE[key] = Reconstructor(model, query_fn,
+                                          feature_dtype=feature_dtype)
     return _RECON_CACHE[key]
 
 
@@ -227,7 +229,9 @@ def gen_mesh(cfg, model: SuRSNet, params, data: dict, save_path: str,
              use_octree: bool = True, query_fn: Optional[Callable] = None,
              query_weights=None) -> Tuple[str, str]:
     """Reference-shaped one-shot API; prefer Reconstructor for loops."""
-    rec = _get_reconstructor(model, query_fn)
+    fdt = jnp.bfloat16 \
+        if getattr(cfg, "feature_dtype", "float32") == "bfloat16" else None
+    rec = _get_reconstructor(model, query_fn, feature_dtype=fdt)
     weights = query_weights if query_weights is not None else params
     return rec.gen_mesh(cfg, params, weights, data, save_path, use_octree)
 

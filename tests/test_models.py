@@ -202,3 +202,18 @@ def test_surs_net_bf16_trunk(rng):
     assert np.isfinite(np.asarray(p_hr16)).all()
     np.testing.assert_allclose(np.asarray(p_hr16), np.asarray(p_hr32),
                                atol=0.15)
+
+
+def test_hgfilter_conv64_mode(rng):
+    """The reference's third stem variant (HGFilters.py:142-144)."""
+    import jax
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 64)).astype(np.float32))
+    # conv64's ConvBlock(64->64) implies a 16-channel branch, which group
+    # norm (32 groups) cannot normalize — the reference has the same
+    # constraint; batch norm is the usable config for this stem.
+    net = HGFilter(num_stack=1, depth=2, last_ch=256, down_type="conv64",
+                   norm="batch")
+    variables = net.init(jax.random.PRNGKey(0), x)
+    outs = net.apply(variables, x)
+    # stride-2 down_conv2 halves resolution before the hourglass
+    assert outs[0].shape == (1, 8, 8, 256)
