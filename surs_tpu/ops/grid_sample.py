@@ -13,13 +13,11 @@ MLP is a plain row-major matmul on the MXU.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 
 def grid_sample_points(feat: jnp.ndarray, uv: jnp.ndarray,
-                       align_corners: bool = True,
-                       pair_rows: bool = True) -> jnp.ndarray:
+                       align_corners: bool = True) -> jnp.ndarray:
     """Sample ``feat`` at continuous uv locations, bilinear + zero padding.
 
     feat: [B, H, W, C] feature map.
@@ -31,12 +29,6 @@ def grid_sample_points(feat: jnp.ndarray, uv: jnp.ndarray,
     padding_mode='zeros', align_corners=True) to float32 accuracy; the
     reference warns parity here is what preserves reconstruction quality
     (lib/geometry.py:9-10).
-
-    pair_rows=True fetches both x-taps of each row as ONE contiguous
-    2C-wide gather (the taps are adjacent in NHWC memory), halving
-    gather count and doubling per-fetch contiguity — ~2x faster gathers
-    on TPU with identical results (weights/validity are applied per tap
-    after an in-register element select).
     """
     B, H, W, C = feat.shape
     x = uv[..., 0]
@@ -55,52 +47,19 @@ def grid_sample_points(feat: jnp.ndarray, uv: jnp.ndarray,
 
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    dt = feat.dtype
 
-    if not pair_rows or W < 2:
-        flat = feat.reshape(B, H * W, C)
+    flat = feat.reshape(B, H * W, C)
 
-        def tap(xi, yi, w):
-            valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
-            idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
-            g = jnp.take_along_axis(flat, idx[..., None], axis=1)
-            return g * (w * valid.astype(dt))[..., None]
+    def tap(xi, yi, w):
+        valid = (xi >= 0) & (xi < W) & (yi >= 0) & (yi < H)
+        idx = jnp.clip(yi, 0, H - 1) * W + jnp.clip(xi, 0, W - 1)
+        g = jnp.take_along_axis(flat, idx[..., None], axis=1)  # [B, N, C]
+        return g * (w * valid.astype(feat.dtype))[..., None]
 
-        out = tap(x0i, y0i, (1.0 - wx) * (1.0 - wy))
-        out = out + tap(x0i + 1, y0i, wx * (1.0 - wy))
-        out = out + tap(x0i, y0i + 1, (1.0 - wx) * wy)
-        out = out + tap(x0i + 1, y0i + 1, wx * wy)
-        return out
-
-    # row-pair path: each y-tap's two x-taps live at adjacent addresses in
-    # NHWC memory, so fetch them as ONE contiguous [2C] slice anchored at
-    # clip(x0, 0, W-2); the per-tap element offset (xi - anchor) in {0, 1}
-    # is resolved with an in-register select.
-    anchor = jnp.clip(x0i, 0, W - 2)
-    e0_is_first = (x0i - anchor) == 0      # False only when x0 < 0
-    valid_x0 = (x0i >= 0) & (x0i < W)
-    valid_x1 = (x0i + 1 >= 0) & (x0i + 1 < W)
-    w_x0 = (1.0 - wx) * valid_x0.astype(jnp.float32)
-    w_x1 = wx * valid_x1.astype(jnp.float32)
-    # pad one pixel so the (H-1, W-2) anchor's 2C slice stays in bounds
-    flat_pad = jnp.pad(feat.reshape(B, H * W * C), ((0, 0), (0, C)))
-
-    def per_batch(opf, y0b, anchor_b, e0b, wx0b, wx1b, wyb):
-        def rowpair(yi):
-            vy = ((yi >= 0) & (yi < H)).astype(jnp.float32)
-            start = (jnp.clip(yi, 0, H - 1) * W + anchor_b) * C
-            g = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(opf, (s,), (2 * C,)))(start)
-            g = g.reshape(-1, 2, C).astype(jnp.float32)
-            sel0 = jnp.where(e0b[:, None], g[:, 0], g[:, 1])
-            sel1 = jnp.where(e0b[:, None], g[:, 1], g[:, 0])
-            return (sel0 * (wx0b * vy)[:, None]
-                    + sel1 * (wx1b * vy)[:, None])
-        return (rowpair(y0b) * (1.0 - wyb)[:, None]
-                + rowpair(y0b + 1) * wyb[:, None])
-
-    out = jax.vmap(per_batch)(flat_pad, y0i, anchor, e0_is_first,
-                              w_x0, w_x1, wy)
+    out = tap(x0i, y0i, (1.0 - wx) * (1.0 - wy))
+    out = out + tap(x0i + 1, y0i, wx * (1.0 - wy))
+    out = out + tap(x0i, y0i + 1, (1.0 - wx) * wy)
+    out = out + tap(x0i + 1, y0i + 1, wx * wy)
     return out
 
 
