@@ -88,31 +88,42 @@ def save_samples_rgb(path: str, points: np.ndarray, rgb: np.ndarray) -> None:
                header=_PLY_HEADER.format(np.asarray(points).shape[0]))
 
 
-def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
+def load_obj(path: str, with_colors: bool = False):
     """Load vertices and triangulated faces from a wavefront OBJ.
 
     Replacement for the trimesh loads in the reference data pipeline
     (lib/data/TrainDataset_LR_v2.py:95-102). Polygons are fan-triangulated;
-    indices may be 1-based or negative.
+    indices may be 1-based or negative. ``with_colors=True`` additionally
+    returns per-vertex colors (the ``v x y z r g b`` extension this
+    module's own color writer emits), or None if absent.
     """
     from . import native
-    if native.available():
+    if not with_colors and native.available():
         out = native.read_obj(path)
         if out is not None:
             return out
     verts = []
     faces = []
+    colors = []
     with open(path) as f:
         for line in f:
             if line.startswith("v "):
                 parts = line.split()
                 verts.append((float(parts[1]), float(parts[2]),
                               float(parts[3])))
+                if with_colors and len(parts) >= 7:
+                    colors.append((float(parts[4]), float(parts[5]),
+                                   float(parts[6])))
             elif line.startswith("f "):
                 idx = [p.split("/")[0] for p in line.split()[1:]]
                 idx = [int(i) for i in idx]
                 idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
                 for k in range(1, len(idx) - 1):
                     faces.append((idx[0], idx[k], idx[k + 1]))
-    return (np.asarray(verts, dtype=np.float32),
-            np.asarray(faces, dtype=np.int64))
+    v = np.asarray(verts, dtype=np.float32)
+    f_arr = np.asarray(faces, dtype=np.int64)
+    if with_colors:
+        c = (np.asarray(colors, dtype=np.float32)
+             if len(colors) == len(verts) else None)
+        return v, f_arr, c
+    return v, f_arr
