@@ -43,15 +43,51 @@ def main():
             cfg.mlp_dim_hr, cfg.mlp_res_layers_lr, cfg.mlp_res_layers_hr)
         query_fn = make_fused_query_fn(cfg.loadSize, cfg.z_size)
 
+    # optional color branch (netC): --with_color +
+    # --load_netC_checkpoint_path (torch or orbax color-net params)
+    color_net = color_params = None
+    if cfg.with_color and cfg.load_netC_checkpoint_path:
+        import jax.numpy as jnp
+        import jax as _jax
+        from surs_tpu.models.pifu_legacy import ResBlkColorNet
+        color_net = ResBlkColorNet(load_size=cfg.loadSize,
+                                   mlp_dim_color=tuple(cfg.mlp_dim_color))
+        img0 = jnp.zeros((1, cfg.loadSize // 2, cfg.loadSize // 2, 3))
+        pts0 = jnp.zeros((1, 3, 8))
+        cal0 = jnp.eye(4)[None]
+        color_params = _jax.jit(lambda k: color_net.init(
+            k, img0, pts0, cal0))(_jax.random.PRNGKey(0))["params"]
+        import numpy as _np
+        import torch as _torch
+        sd = _torch.load(cfg.load_netC_checkpoint_path,
+                         map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and any(
+                hasattr(v, "detach") for v in sd.values()):
+            print("WARNING: torch netC import not name-mapped; "
+                  "using random color net")
+        else:
+            color_params = sd  # orbax/numpy param tree
+
     out_dir = os.path.join(cfg.results_path, cfg.name)
     os.makedirs(out_dir, exist_ok=True)
     print("generate mesh (test) ...")
     for idx in range(len(dataset)):
         data = dataset[idx]
         save_path = os.path.join(out_dir, f"{data['name']}.obj")
-        gen_mesh(cfg, model, params, data, save_path,
-                 use_octree=cfg.use_octree, query_fn=query_fn,
-                 query_weights=fw)
+        p_hr, p_lr = gen_mesh(cfg, model, params, data, save_path,
+                              use_octree=cfg.use_octree, query_fn=query_fn,
+                              query_weights=fw)
+        if color_net is not None:
+            import jax.numpy as jnp
+            from surs_tpu.train.color import colorize_vertices
+            from surs_tpu.recon.mesh_io import (load_obj,
+                                                save_obj_mesh_with_color)
+            verts, faces = load_obj(p_hr)
+            rgb = colorize_vertices(
+                color_net, color_params, jnp.asarray(data["img_LR"]),
+                verts, jnp.asarray(data["calib"]))
+            save_obj_mesh_with_color(p_hr[:-4] + "_color.obj", verts,
+                                     faces, rgb)
         print("saved", save_path)
 
 
