@@ -240,20 +240,19 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
             cache[key] = jax.jit(builder())
         return cache[key]
 
-    # Single chunk program shared by ALL levels: the lattice size L and
-    # stride reso enter as traced scalars (integer arithmetic only), so
-    # one compile of the expensive query program serves the whole
-    # coarse-to-fine schedule — and every chunk is one dispatch.
+    # Single chunk program shared by ALL levels AND all bounding boxes:
+    # the lattice size L, stride reso, and the index->world affine enter
+    # as traced scalars/arrays, so one compile of the expensive query
+    # program serves every coarse-to-fine schedule — one dispatch/chunk.
     def chunk_builder():
-        def f(sdf_hr, sdf_lr, dirty, compact, start, na, L, reso, ctx):
+        def f(sdf_hr, sdf_lr, dirty, compact, start, na, L, reso,
+              scale, offset, ctx):
             idx = lax.dynamic_slice(compact, (start,), (C,))
             kg = idx % L
             jg = (idx // L) % L
             ig = idx // (L * L)
             ijk = (jnp.stack([ig, jg, kg]).astype(jnp.float32)
                    * reso.astype(jnp.float32))
-            scale = jnp.asarray(np.diag(mat[:3, :3]), jnp.float32)
-            offset = jnp.asarray(mat[:3, 3], jnp.float32)
             pts = ijk * scale[:, None] + offset[:, None]
             hr, lr = eval_fn(pts, ctx)
             valid = (start + jnp.arange(C, dtype=jnp.int32)) < na
@@ -266,7 +265,9 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
             return sdf_hr, sdf_lr, dirty
         return f
 
-    chunk_fn = get(("hl-chunk", R, C, mat.tobytes()), chunk_builder)
+    chunk_fn = get(("hl-chunk", R, C), chunk_builder)
+    scale_arr = jnp.asarray(np.diag(mat[:3, :3]), jnp.float32)
+    offset_arr = jnp.asarray(mat[:3, 3], jnp.float32)
 
     base = ("hl", R, C, float(threshold), mat.tobytes())
     reso = R // init_resolution
@@ -302,7 +303,7 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
         for c in range(0, na_host, C):
             sdf_hr, sdf_lr, dirty = chunk_fn(
                 sdf_hr, sdf_lr, dirty, compact, jnp.int32(c), na, Lj,
-                resoj, ctx)
+                resoj, scale_arr, offset_arr, ctx)
         if reso <= 1:
             break
         pkey = base + ("prune", reso)
