@@ -100,30 +100,6 @@ if verts.shape[0] > 10:
 else:
     print("EMPTY MESH — training did not converge", flush=True)
 
-# ---- north-star measurement: 512^3 with the TRAINED net (realistic
-# pruning) + silhouette pre-pruning ----
-sil = jnp.asarray(item["mask_LR"])
-for R512, use_sil in ((512, False), (512, True)):
-    stats = {}
-    silh = sil if use_sil else None
-    t0 = time.time()
-    sdf_hr, sdf_lr, mt = rec.evaluate(
-        state.params, feats_lr, feat_hr, item["calib"][None], R512,
-        item["b_min"], item["b_max"], num_samples=262144, threshold=0.05,
-        init_resolution=64, silhouette=silh, stats_out=stats)
-    jax.block_until_ready(sdf_hr); t1 = time.time() - t0
-    stats2 = {}
-    t0 = time.time()
-    sdf_hr, sdf_lr, mt = rec.evaluate(
-        state.params, feats_lr, feat_hr, item["calib"][None], R512,
-        item["b_min"], item["b_max"], num_samples=262144, threshold=0.05,
-        init_resolution=64, silhouette=silh, stats_out=stats2)
-    jax.block_until_ready(sdf_hr)
-    t2 = time.time() - t0
-    from surs_tpu.recon.marching import extract_isosurface
-    t0 = time.time()
-    v512, f512 = extract_isosurface(np.asarray(sdf_hr), 0.5)
-    t_mc = time.time() - t0
-    print(f"512^3 trained-net eval (mask_prune={use_sil}): first {t1:.1f}s, "
-          f"steady {t2:.2f}s, queries {stats2.get('queries',0)}, "
-          f"mc {t_mc:.2f}s ({f512.shape[0]} faces)", flush=True)
+# (512^3 timing lives in benchmarks/test512.py; at this demo's config a
+# local-XLA compile pathology was observed for the 512^3/262144-chunk
+# combination — see TODO.md measurement notes.)
