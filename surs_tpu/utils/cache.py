@@ -14,9 +14,14 @@ DEFAULT_DIR = os.path.join(os.path.dirname(__file__), "..", "..",
                            ".jax_cache")
 
 
-def enable_compilation_cache(path: str | None = None) -> str:
+def enable_compilation_cache(path: str | None = None) -> str | None:
     import jax
 
+    # CPU executables are AOT-compiled against the build host's exact ISA
+    # feature set; loading them on a different machine can SIGILL. Only
+    # accelerator programs are worth caching anyway.
+    if jax.default_backend() == "cpu":
+        return None
     path = os.path.abspath(path or os.environ.get(
         "SURS_COMPILATION_CACHE", DEFAULT_DIR))
     os.makedirs(path, exist_ok=True)
