@@ -165,3 +165,15 @@ def test_sample_surface_colors(rng):
     pts = out["color_samples"].T
     np.testing.assert_allclose(np.abs(pts).max(axis=1), 1.0, atol=1e-5)
     np.testing.assert_allclose(out["rgbs"].T, pts, atol=1e-5)
+
+
+def test_contains_open_mesh_graceful():
+    """Winding numbers degrade gracefully on a non-watertight mesh: the
+    deep-interior region behind the opening is still classified inside."""
+    mesh = cube_mesh(half=0.5)
+    open_faces = mesh.faces[2:]  # remove the x=-0.5 wall
+    pts = np.array([[0.0, 0.0, 0.0],       # center: mostly enclosed
+                    [2.0, 0.0, 0.0]], np.float32)  # far outside
+    inside = contains(pts, mesh.verts, open_faces)
+    assert bool(inside[0]) is True
+    assert bool(inside[1]) is False

@@ -142,3 +142,9 @@ def test_image_space_rotation(rng):
     rot90 = jnp.asarray([[np.pi / 2, 0.0]])
     out = np.asarray(ops.geometry.image_space_rotation(xy1, rot90))
     np.testing.assert_allclose(out[0, :, 0], [0.0, 1.0], atol=1e-6)
+
+
+def test_bicubic_identity_when_same_size(rng):
+    x = jnp.asarray(rng.standard_normal((1, 9, 9, 2)).astype(np.float32))
+    out = ops.bicubic_resize_2d(x, 9, 9, align_corners=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)

@@ -268,3 +268,26 @@ def test_silhouette_pruning():
     assert hr[int((0.45 + 0.5) * R) % R, R // 2, R // 2] == 0.0
     # inside the silhouette the sphere evaluates normally near center
     assert hr[R // 2, R // 2, R // 2] == 1.0
+
+
+def test_octree_stats_and_init_dirty_fused():
+    """stats_out counts; fused mode honors init_dirty identically."""
+    import jax.numpy as jnp
+    from surs_tpu.recon.evaluator import eval_grid_octree_hostloop
+    R, init_res = 16, 8
+    mat = grid_matrix((R, R, R), np.array([-0.5] * 3), np.array([0.5] * 3))
+    # half-space pre-pruned
+    init_dirty = jnp.asarray(
+        np.mgrid[:R, :R, :R][0] < R // 2)
+    stats = {}
+    hl_hr, _ = eval_grid_octree_hostloop(
+        binary_sphere_eval_jax, R, mat, 0.05, init_resolution=init_res,
+        num_samples=64, init_dirty=init_dirty, stats_out=stats)
+    assert 0 < stats["queries"] < R ** 3
+    f_hr, _ = eval_grid_octree(
+        binary_sphere_eval_jax, R, mat, 0.05, init_resolution=init_res,
+        num_samples=64, init_dirty=init_dirty)
+    np.testing.assert_allclose(np.asarray(hl_hr), np.asarray(f_hr),
+                               atol=1e-6)
+    # pre-pruned half stays at the default 0 fill
+    assert float(np.abs(np.asarray(hl_hr)[R // 2:]).max()) == 0.0
