@@ -35,8 +35,6 @@ run("pallas bn512", lambda xx: fused_dual_mlp(xx, fw, block_n=512)[0][0], 100)
 run("xla fused", lambda xx: fused_dual_mlp_xla(xx, fw)[0][0], 100)
 # half the points
 xh = x[:25088]
-pass
-xh = x[:25088]
 def run2(label, inner, iters, inp):
     @jax.jit
     def chain(x):
