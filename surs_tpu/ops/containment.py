@@ -4,12 +4,18 @@ The reference labels training samples with ``trimesh.contains`` backed by
 an Embree BVH on the host CPU (lib/data/TrainDataset_LR_v2.py:377-387) —
 a per-item hot spot. Here containment is a dense batched computation that
 rides the TPU: the solid angle each triangle subtends at each query point
-(van Oosterom & Strackee), summed over triangles; |winding| > 2*pi means
-inside. O(P*T) flops, tiled over triangles with a lax.scan accumulator so
-memory stays at [P, chunk].
+(van Oosterom & Strackee), summed over triangles. O(P*T) flops, tiled
+over triangles with a lax.scan accumulator so memory stays at [P, chunk].
 
-For watertight meshes this matches an exact BVH containment test; it is
-additionally robust to small cracks (winding degrades gracefully).
+Inside/outside threshold: a watertight mesh yields winding ~4*pi (= full
+sphere) inside and ~0 outside, so any cut between them classifies
+identically; we deliberately test |winding| > pi (winding number 0.25, the
+midpoint on the winding-number scale [0, 0.5]) rather than the watertight
+-exact 2*pi so that points behind small cracks or non-manifold seams in
+scanned human meshes — where the interior angle degrades below 4*pi —
+still label as inside. Jacobson et al. 2013 ("Robust Inside-Outside
+Segmentation using Generalized Winding Numbers") use the same 0.5-of-max
+cut. tests/test_data.py pins both the watertight and the open-mesh case.
 """
 
 from __future__ import annotations
@@ -72,5 +78,7 @@ def contains(points: np.ndarray, verts: np.ndarray, faces: np.ndarray,
     for s in range(0, points.shape[0], point_chunk):
         w = winding_number(jnp.asarray(points[s:s + point_chunk]), tris,
                            tri_chunk=tri_chunk)
+        # |w| > pi == winding number > 0.25: see module docstring for why
+        # this open-mesh-lenient cut is used instead of the exact 2*pi.
         out[s:s + point_chunk] = np.asarray(jnp.abs(w) > TWO_PI * 0.5)
     return out

@@ -197,13 +197,17 @@ class Reconstructor:
 
 
 # --------------------------------------------------------------------------
-# Functional wrappers (stable public API; reuse a cached Reconstructor)
+# Functional wrappers (stable public API; reuse a cached Reconstructor).
+# Keyed on the model/query_fn OBJECTS (kept alive by the cache itself), not
+# id(): ids are recycled after GC, so a long-lived process creating and
+# dropping models could otherwise hit a stale Reconstructor built for a
+# different topology.
 _RECON_CACHE: Dict = {}
 
 
 def _get_reconstructor(model: SuRSNet, query_fn,
                        feature_dtype=None) -> Reconstructor:
-    key = (id(model), id(query_fn), str(feature_dtype))
+    key = (model, query_fn, str(feature_dtype))
     if key not in _RECON_CACHE:
         _RECON_CACHE[key] = Reconstructor(model, query_fn,
                                           feature_dtype=feature_dtype)

@@ -270,6 +270,106 @@ def test_silhouette_pruning():
     assert hr[R // 2, R // 2, R // 2] == 1.0
 
 
+def test_octree_hierarchical_compaction_matches_oracle(monkeypatch):
+    """Force the two-level (block-summary + group) compaction path — at
+    production constants it only engages for lattices >= 256^3 — and pin
+    it to the reference-semantics oracle, in BOTH evaluator modes,
+    including the multi-group loop (group capacity 8 blocks)."""
+    from surs_tpu.recon import evaluator as ev
+    monkeypatch.setattr(ev, "_BLOCK", 2)
+    monkeypatch.setattr(ev, "_GROUP_BLOCKS", 8)
+    R, init_res, thr = 32, 8, 0.05
+    assert ev._two_level(R)  # reso=1 level takes the hierarchical path
+    mat = grid_matrix((R, R, R), np.array([-0.5] * 3), np.array([0.5] * 3))
+    ref_hr, ref_lr = oracle_octree(binary_sphere_eval, R, mat, thr, init_res)
+    for mode in ("fused", "hostloop"):
+        fn = (eval_grid_octree if mode == "fused"
+              else ev.eval_grid_octree_hostloop)
+        got_hr, got_lr = fn(binary_sphere_eval_jax, R, mat, thr,
+                            init_resolution=init_res, num_samples=100)
+        np.testing.assert_allclose(np.asarray(got_hr), ref_hr, atol=1e-6,
+                                   err_msg=mode)
+        np.testing.assert_allclose(np.asarray(got_lr), ref_lr, atol=1e-6,
+                                   err_msg=mode)
+
+
+@pytest.mark.slow
+def test_octree_oracle_64_noncubic_bbox_init_dirty():
+    """Deeper oracle pin (VERDICT r1 #7): 64^3, production-shaped reso
+    schedule 8->1, non-cubic bbox, silhouette-style init_dirty, both
+    evaluator modes. One-off full-lattice parity with lib/sdf.py:55-120
+    semantics."""
+    from surs_tpu.recon.evaluator import eval_grid_octree_hostloop
+    R, init_res, thr = 64, 8, 0.05
+    b_min = np.array([-0.5, -0.8, -0.4])
+    b_max = np.array([0.5, 0.8, 0.6])
+    mat = grid_matrix((R, R, R), b_min, b_max)
+
+    def eval_np(points):
+        p = np.asarray(points)
+        r = np.linalg.norm(p * np.array([[1.0], [0.6], [1.2]]), axis=0)
+        hr = np.clip(1.0 - r / 0.45, 0.0, 1.0)
+        return hr.astype(np.float32), (hr * 0.9 + 0.02).astype(np.float32)
+
+    def eval_jax(points, ctx=None):
+        r = jnp.linalg.norm(
+            points * jnp.array([[1.0], [0.6], [1.2]]), axis=0)
+        hr = jnp.clip(1.0 - r / 0.45, 0.0, 1.0)
+        return hr.astype(jnp.float32), (hr * 0.9 + 0.02).astype(jnp.float32)
+
+    # oracle with an initial dirty mask (half-space pre-pruned)
+    init_np = np.mgrid[:R, :R, :R][0] < (3 * R) // 4
+
+    def oracle_with_init(eval_xyz):
+        coords = np.mgrid[:R, :R, :R].reshape(3, -1).astype(np.float64)
+        coords = (mat[:3, :3] @ coords + mat[:3, 3:4]).reshape(3, R, R, R)
+        sdf_hr = np.zeros((R, R, R))
+        sdf_lr = np.zeros((R, R, R))
+        dirty = init_np.copy()
+        grid_mask = np.zeros((R, R, R), dtype=bool)
+        reso = R // init_res
+        while reso > 0:
+            grid_mask[0:R:reso, 0:R:reso, 0:R:reso] = True
+            test_mask = np.logical_and(grid_mask, dirty)
+            points = coords[:, test_mask]
+            hr, lr = eval_xyz(points)
+            sdf_hr[test_mask] = hr
+            sdf_lr[test_mask] = lr
+            dirty[test_mask] = False
+            if reso <= 1:
+                break
+            for x in range(0, R - reso, reso):
+                for y in range(0, R - reso, reso):
+                    for z in range(0, R - reso, reso):
+                        if not dirty[x + reso // 2, y + reso // 2,
+                                     z + reso // 2]:
+                            continue
+                        for sdf in (sdf_hr, sdf_lr):
+                            v = sdf[x:x + reso + 1:reso,
+                                    y:y + reso + 1:reso,
+                                    z:z + reso + 1:reso].reshape(-1)
+                            if v.max() - v.min() < thr:
+                                sdf[x:x + reso, y:y + reso,
+                                    z:z + reso] = (v.max() + v.min()) / 2
+                                dirty[x:x + reso, y:y + reso,
+                                      z:z + reso] = False
+            reso //= 2
+        return sdf_hr, sdf_lr
+
+    ref_hr, ref_lr = oracle_with_init(eval_np)
+    init_jax = jnp.asarray(init_np)
+    for mode in ("fused", "hostloop"):
+        fn = (eval_grid_octree if mode == "fused"
+              else eval_grid_octree_hostloop)
+        got_hr, got_lr = fn(eval_jax, R, mat, thr,
+                            init_resolution=init_res, num_samples=5000,
+                            init_dirty=init_jax)
+        np.testing.assert_allclose(np.asarray(got_hr), ref_hr, atol=1e-5,
+                                   err_msg=mode)
+        np.testing.assert_allclose(np.asarray(got_lr), ref_lr, atol=1e-5,
+                                   err_msg=mode)
+
+
 def test_octree_stats_and_init_dirty_fused():
     """stats_out counts; fused mode honors init_dirty identically."""
     import jax.numpy as jnp
