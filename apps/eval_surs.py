@@ -18,12 +18,13 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
 
 def main():
     import jax
+    import jax.numpy as jnp
     from surs_tpu.config import parse_config, print_config
     from surs_tpu.data import EvalDataset
     from surs_tpu.models import surs_net_from_config
     from surs_tpu.ops.fused_mlp import prepare_fused_weights
     from surs_tpu.ops.point_query import make_fused_query_fn
-    from surs_tpu.recon import gen_mesh
+    from surs_tpu.recon.pipeline import _get_reconstructor
     from surs_tpu.compat.torch_import import load_params
 
     cfg = parse_config()
@@ -43,29 +44,52 @@ def main():
             cfg.mlp_dim_hr, cfg.mlp_res_layers_lr, cfg.mlp_res_layers_hr)
         query_fn = make_fused_query_fn(cfg.loadSize, cfg.z_size)
 
+    fdt = jnp.bfloat16 \
+        if getattr(cfg, "feature_dtype", "float32") == "bfloat16" else None
+    rec = _get_reconstructor(model, query_fn, feature_dtype=fdt)
+    weights = fw if fw is not None else params
+
     # optional color branch (netC): --with_color +
-    # --load_netC_checkpoint_path (torch or orbax color-net params)
+    # --load_netC_checkpoint_path. A torch netC checkpoint (reference
+    # ResBlkPIFuNet) imports strictly into RefColorNet — an unmappable
+    # checkpoint is an ERROR, never a silent random color net. A
+    # directory/param tree loads into the framework-native ResBlkColorNet.
     color_net = color_params = None
+    color_is_ref = False
     if cfg.with_color and cfg.load_netC_checkpoint_path:
-        import jax.numpy as jnp
-        import jax as _jax
-        from surs_tpu.models.pifu_legacy import ResBlkColorNet
-        color_net = ResBlkColorNet(load_size=cfg.loadSize,
-                                   mlp_dim_color=tuple(cfg.mlp_dim_color))
-        img0 = jnp.zeros((1, cfg.loadSize // 2, cfg.loadSize // 2, 3))
-        pts0 = jnp.zeros((1, 3, 8))
-        cal0 = jnp.eye(4)[None]
-        color_params = _jax.jit(lambda k: color_net.init(
-            k, img0, pts0, cal0))(_jax.random.PRNGKey(0))["params"]
-        import numpy as _np
         import torch as _torch
+        from surs_tpu.models.pifu_legacy import ResBlkColorNet, RefColorNet
         sd = _torch.load(cfg.load_netC_checkpoint_path,
                          map_location="cpu", weights_only=False)
-        if isinstance(sd, dict) and any(
-                hasattr(v, "detach") for v in sd.values()):
-            print("WARNING: torch netC import not name-mapped; "
-                  "using random color net")
+        is_torch_sd = isinstance(sd, dict) and any(
+            hasattr(v, "detach") for v in sd.values())
+        if is_torch_sd:
+            from surs_tpu.compat.torch_import import \
+                import_torch_color_state_dict
+            color_is_ref = True
+            color_net = RefColorNet(
+                load_size=cfg.loadSize,
+                mlp_dim_color=tuple(cfg.mlp_dim_color))
+            shapes = jax.eval_shape(
+                lambda k, a, b, c, d: color_net.init(k, a, b, c, d),
+                jax.random.PRNGKey(0),
+                jax.ShapeDtypeStruct(
+                    (1, cfg.loadSize // 2, cfg.loadSize // 2, 3),
+                    jnp.float32),
+                jax.ShapeDtypeStruct(
+                    (1, cfg.loadSize // 4, cfg.loadSize // 4, cfg.hg_dim),
+                    jnp.float32),
+                jax.ShapeDtypeStruct((1, 3, 8), jnp.float32),
+                jax.ShapeDtypeStruct((1, 4, 4), jnp.float32))["params"]
+            zeros = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+            color_params, n = import_torch_color_state_dict(
+                sd, zeros, strict=True)
+            print(f"imported {n} netC tensors (reference ResBlkPIFuNet)")
         else:
+            color_net = ResBlkColorNet(
+                load_size=cfg.loadSize,
+                mlp_dim_color=tuple(cfg.mlp_dim_color))
             color_params = sd  # orbax/numpy param tree
 
     out_dir = os.path.join(cfg.results_path, cfg.name)
@@ -74,20 +98,29 @@ def main():
     for idx in range(len(dataset)):
         data = dataset[idx]
         save_path = os.path.join(out_dir, f"{data['name']}.obj")
-        p_hr, p_lr = gen_mesh(cfg, model, params, data, save_path,
-                              use_octree=cfg.use_octree, query_fn=query_fn,
-                              query_weights=fw)
+        p_hr, p_lr = rec.gen_mesh(cfg, params, weights, data, save_path,
+                                  use_octree=cfg.use_octree)
         if color_net is not None:
-            import jax.numpy as jnp
-            from surs_tpu.train.color import colorize_vertices
+            from surs_tpu.train.color import (colorize_vertices,
+                                              colorize_vertices_ref)
             from surs_tpu.recon.mesh_io import (load_obj,
                                                 save_obj_mesh_with_color)
             verts, faces = load_obj(p_hr)
-            rgb = colorize_vertices(
-                color_net, color_params, jnp.asarray(data["img_LR"]),
-                verts, jnp.asarray(data["calib"]))
-            save_obj_mesh_with_color(p_hr[:-4] + "_color.obj", verts,
-                                     faces, rgb)
+            if verts.shape[0] == 0:
+                print(f"empty HR mesh for {data['name']} — skip color")
+            else:
+                img = jnp.asarray(data["img_LR"])
+                if color_is_ref:
+                    _, feats_lr, _ = rec.encode(params, img)
+                    rgb = colorize_vertices_ref(
+                        color_net, color_params, img, feats_lr[-1], verts,
+                        jnp.asarray(data["calib"]))
+                else:
+                    rgb = colorize_vertices(
+                        color_net, color_params, img, verts,
+                        jnp.asarray(data["calib"]))
+                save_obj_mesh_with_color(p_hr[:-4] + "_color.obj", verts,
+                                         faces, rgb)
         print("saved", save_path)
 
 

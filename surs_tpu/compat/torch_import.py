@@ -29,12 +29,21 @@ import jax.numpy as jnp
 # consumer in the forward pass
 _DROP_PATTERNS = [
     r"^image_filter_hr\.(conv1|bn1|conv2|conv3|conv4|down_conv2)\.",
-    r"^image_filter_lr\.(conv1|bn1|conv3|conv4|down_conv2)\.",
+    # conv5 is constructed unconditionally but only consumed in
+    # 'high_res' mode (HGFilters.py:153,180) — dead in the lr filter
+    r"^image_filter_lr\.(conv1|bn1|conv3|conv4|conv5|down_conv2)\.",
     r"^super_resolution\.(sub_mean|add_mean)\.",
     r"\.downsample\.0\.",   # alias of bn4 (same tensor, HGFilters.py:48-53)
     r"^image_filter_hr\.(m\d+|top_m_\d+|conv_last\d+|bn_end\d+|l\d+|bl\d+"
     r"|al\d+)\.",           # hr hourglass stacks are dead in 'high_res' mode
 ]
+
+
+def _is_dead_bn4(torch_key: str, state_dict) -> bool:
+    """ConvBlock bn4 with no sibling downsample conv is constructed but
+    never consumed (HGFilters.py:47-53) — drop it."""
+    m = re.match(r"^(.*)\.bn4\.", torch_key)
+    return bool(m) and f"{m.group(1)}.downsample.2.weight" not in state_dict
 
 
 def _flax_path(torch_key: str) -> Optional[Tuple[str, ...]]:
@@ -134,6 +143,9 @@ def import_torch_state_dict(state_dict: Dict[str, np.ndarray],
     tree). ``state_dict`` values may be torch tensors or numpy arrays."""
     flat = {}
     for key, val in state_dict.items():
+        # dead bn4s (every live ConvBlock at the SuRS config is 256->256)
+        if _is_dead_bn4(key, state_dict):
+            continue
         path = _flax_path(key)
         if path is None:
             continue
@@ -227,3 +239,78 @@ def load_params(cfg, model):
     params, n = load_torch_checkpoint(path, params, strict=False)
     print(f"imported {n} tensors from torch checkpoint {path}")
     return params
+
+
+# ---------------------------------------------------------------------------
+# netC (color branch) import: reference ResBlkPIFuNet state dicts
+# (lib/model/ResBlkPIFuNet.py) -> models.pifu_legacy.RefColorNet params.
+#
+# Sequential layout of ResnetFilter.model (ResBlkPIFuNet.py:174-197, with
+# the default --norm_color instance => affine-free norms contribute no
+# tensors): 1 = 7x7 stem conv, 4 / 7 = stride-2 downsample convs,
+# 10+i = ResnetBlock i whose conv_block indices 1 and 5 are its two convs.
+
+def _flax_path_netc(torch_key: str) -> Optional[Tuple[str, ...]]:
+    parts = torch_key.split(".")
+    if parts[0] == "surface_classifier":
+        return ("surface_classifier", parts[1])
+    if parts[0] == "image_filter" and parts[1] == "model":
+        idx = int(parts[2])
+        if idx == 1:
+            return ("image_filter", "stem")
+        if idx == 4:
+            return ("image_filter", "down0")
+        if idx == 7:
+            return ("image_filter", "down1")
+        if idx >= 10 and len(parts) >= 5 and parts[3] == "conv_block":
+            blk = idx - 10
+            cname = {1: "conv1", 5: "conv2"}.get(int(parts[4]))
+            if cname is not None:
+                return ("image_filter", f"block{blk}", cname)
+    return None
+
+
+def import_torch_color_state_dict(state_dict, params, strict: bool = True):
+    """Merge a reference netC state dict into RefColorNet params.
+
+    Unlike the netG shim there are no dead tensors to drop: every key
+    must map (instance norm carries no parameters). ``strict`` raises on
+    unknown keys — the eval CLI REFUSES rather than silently running a
+    random color net.
+    """
+    flat = {}
+    for key, val in state_dict.items():
+        path = _flax_path_netc(key)
+        if path is None:
+            if strict:
+                raise KeyError(
+                    f"unmappable netC key {key!r} — only reference "
+                    f"ResBlkPIFuNet checkpoints trained with the default "
+                    f"--norm_color instance are importable")
+            continue
+        if hasattr(val, "detach"):
+            val = val.detach().cpu().numpy()
+        leaf, arr = _convert_leaf(key, val)
+        if leaf is None:
+            continue
+        flat[path + (leaf,)] = arr
+
+    import copy
+    import flax
+    mutable = copy.deepcopy(flax.core.unfreeze(params))
+    n = 0
+    for path, val in flat.items():
+        node = mutable
+        for p in path[:-1]:
+            if p not in node:
+                raise KeyError(f"no module {'/'.join(path)} in params")
+            node = node[p]
+        if path[-1] not in node:
+            raise KeyError(f"no leaf {'/'.join(path)} in params")
+        expected = node[path[-1]]
+        if expected.shape != val.shape:
+            raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                             f"{expected.shape} vs {val.shape}")
+        node[path[-1]] = jnp.asarray(val, dtype=expected.dtype)
+        n += 1
+    return mutable, n

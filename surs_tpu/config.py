@@ -34,6 +34,9 @@ class SuRSConfig:
     gpu_id: int = 0                 # accepted for CLI parity; unused on TPU
     gpu_ids: str = "0"              # accepted for CLI parity; unused on TPU
     num_threads: int = 1
+    # worker PROCESSES for batch construction (the reference's DataLoader
+    # num_workers analog, apps/train_SuRS.py:40-49); 0 = in-process
+    num_workers: int = 0
     serial_batches: bool = False
     pin_memory: bool = False
     batch_size: int = 2

@@ -1,13 +1,25 @@
 """Lightweight batching data loader with background prefetch.
 
 Replaces torch's DataLoader (apps/train_SuRS.py:40-49). Items are numpy
-dicts; batches stack array-valued keys along axis 0. A thread pool
-prefetches ahead of the training step so host-side sampling overlaps
-device compute.
+dicts; batches stack array-valued keys along axis 0. Two overlap modes:
+
+  * ``num_threads`` > 1 / ``prefetch``: a background thread pipelines
+    batch construction ahead of the training step (enough when item
+    construction is IO-bound);
+  * ``num_workers`` > 0: worker PROCESSES build batches in parallel —
+    the equivalent of the reference's DataLoader worker subprocesses
+    (apps/train_SuRS.py:40-49) for the numpy/PIL-heavy sampling path,
+    which is GIL-bound under threads. Batches are re-ordered to the
+    deterministic epoch order, so results are identical to the
+    single-process loader. Uses fork (default) so the dataset and its
+    in-RAM mesh cache are inherited copy-on-write; workers must only do
+    host work (they never touch jax, and fork happens lazily at first
+    iteration).
 """
 
 from __future__ import annotations
 
+import multiprocessing as mp
 import queue
 import threading
 from typing import Dict, Iterator, List, Sequence
@@ -30,11 +42,14 @@ class DataLoader:
     def __init__(self, dataset, batch_size: int = 1, shuffle: bool = True,
                  num_threads: int = 1, prefetch: int = 2,
                  seed: int = 0, drop_last: bool = True,
-                 resample_on_error: bool = False, max_retries: int = 8):
+                 resample_on_error: bool = False, max_retries: int = 8,
+                 num_workers: int = 0, mp_context: str = "fork"):
         """``resample_on_error`` implements the reference's documented
         failure-recovery contract (lib/data/BaseDataset.py:24-45): an item
         that raises (missing file, IO error) is replaced by a random
-        other item instead of killing the epoch."""
+        other item instead of killing the epoch. ``num_workers`` > 0
+        switches to process-parallel batch construction (module
+        docstring)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -44,6 +59,8 @@ class DataLoader:
         self.drop_last = drop_last
         self.resample_on_error = resample_on_error
         self.max_retries = max_retries
+        self.num_workers = max(0, num_workers)
+        self.mp_context = mp_context
         self._epoch = 0
 
     def _get(self, i: int):
@@ -70,9 +87,56 @@ class DataLoader:
         return [idx[i * self.batch_size:(i + 1) * self.batch_size].tolist()
                 for i in range(nb)]
 
+    def _worker_proc(self, batches, in_q, out_q):
+        """Worker-process loop: build whole batches, push (index, batch)."""
+        while True:
+            bi = in_q.get()
+            if bi is None:
+                return
+            try:
+                out_q.put((bi, collate([self._get(i)
+                                        for i in batches[bi]])))
+            except Exception as e:
+                out_q.put((bi, e))
+
+    def _iter_processes(self, batches) -> Iterator[Dict]:
+        ctx = mp.get_context(self.mp_context)
+        in_q = ctx.Queue()
+        out_q = ctx.Queue(maxsize=max(2, self.prefetch))
+        nw = min(self.num_workers, max(1, len(batches)))
+        procs = [ctx.Process(target=self._worker_proc,
+                             args=(batches, in_q, out_q), daemon=True)
+                 for _ in range(nw)]
+        for p in procs:
+            p.start()
+        try:
+            for bi in range(len(batches)):
+                in_q.put(bi)
+            for _ in range(nw):
+                in_q.put(None)
+            pending: Dict[int, Dict] = {}
+            nxt = 0
+            while nxt < len(batches):
+                while nxt not in pending:
+                    bi, item = out_q.get()
+                    pending[bi] = item
+                item = pending.pop(nxt)
+                nxt += 1
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+
     def __iter__(self) -> Iterator[Dict]:
         batches = self._index_batches()
         self._epoch += 1
+        if self.num_workers > 0:
+            yield from self._iter_processes(batches)
+            return
         if self.num_threads <= 1 and self.prefetch <= 1:
             for b in batches:
                 yield collate([self._get(i) for i in b])

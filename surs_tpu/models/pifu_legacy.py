@@ -203,3 +203,108 @@ class ResBlkColorNet(nn.Module):
         pf = jnp.concatenate([grid_sample_points(feats[-1], uv), z_feat],
                              axis=-1)
         return self.color_mlp(pf)  # [B, N, 3] in [-1, 1]
+
+
+# ---------------------------------------------------------------------------
+# Reference-checkpoint-compatible color branch (netC).
+#
+# ResBlkColorNet above is the framework-native color net; the classes below
+# reproduce the reference ResBlkPIFuNet's exact topology
+# (lib/model/ResBlkPIFuNet.py:11-99,150-200) so that reference-trained netC
+# checkpoints import tensor-for-tensor (compat/torch_import.py
+# import_torch_color_state_dict).
+
+def _instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """torch nn.InstanceNorm2d(affine=False) over NHWC: per-sample,
+    per-channel spatial normalization; no learned parameters — matching
+    the reference's default --norm_color instance (lib/options.py:72),
+    whose checkpoints therefore carry no norm tensors."""
+    mean = x.mean(axis=(1, 2), keepdims=True)
+    var = x.var(axis=(1, 2), keepdims=True)
+    return (x - mean) / jnp.sqrt(var + eps)
+
+
+def _reflect_pad(x: jnp.ndarray, p: int) -> jnp.ndarray:
+    return jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+
+
+class RefResnetBlock(nn.Module):
+    """ResnetBlock (lib/model/ResBlkPIFuNet.py:91-148): reflect-pad 3x3
+    conv, instance norm, relu, reflect-pad 3x3 conv (+ norm unless
+    ``last``), residual add."""
+    dim: int
+    last: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        h = _reflect_pad(x, 1)
+        h = conv(self.dim, 3, pad=0, name="conv1")(h)
+        h = nn.relu(_instance_norm(h))
+        h = _reflect_pad(h, 1)
+        h = conv(self.dim, 3, pad=0, name="conv2")(h)
+        if not self.last:
+            h = _instance_norm(h)
+        return x + h
+
+
+class ResnetColorFilter(nn.Module):
+    """ResnetFilter (lib/model/ResBlkPIFuNet.py:150-200): reflect-padded
+    7x7 stem, two stride-2 downsamples (64->128->256), ``n_blocks``
+    resnet blocks (the final one normless per ``last=True``)."""
+    ngf: int = 64
+    n_blocks: int = 6
+
+    @nn.compact
+    def __call__(self, x) -> jnp.ndarray:
+        h = _reflect_pad(x, 3)
+        h = conv(self.ngf, 7, pad=0, name="stem")(h)
+        h = nn.relu(_instance_norm(h))
+        for i in range(2):
+            h = conv(self.ngf * 2 ** (i + 1), 3, stride=2, pad=1,
+                     name=f"down{i}")(h)
+            h = nn.relu(_instance_norm(h))
+        for i in range(self.n_blocks):
+            h = RefResnetBlock(self.ngf * 4,
+                               last=(i == self.n_blocks - 1),
+                               name=f"block{i}")(h)
+        return h
+
+
+class RefColorNet(nn.Module):
+    """Checkpoint-compatible netC (reference ResBlkPIFuNet,
+    lib/model/ResBlkPIFuNet.py:11-99).
+
+    ``attach`` semantics: the reference concatenates netG's pixel-aligned
+    feature map with its own filter output before sampling
+    (ResBlkPIFuNet.py:46-48); sampling is channelwise, so we sample each
+    map separately and concatenate point features — identical math even
+    when the maps' spatial resolutions differ. Input to the MLP:
+    256 (netG) + 256 (own) + 1 (depth) = 513 = mlp_dim_color[0]
+    (lib/options.py:92). The color MLP is the norm-free SurfaceClassifier
+    chain with a tanh last op and no residual re-concats
+    (ResBlkPIFuNet.py:28-33).
+    """
+    mlp_dim_color: Sequence[int] = (513, 1024, 512, 256, 128, 3)
+    projection_mode: str = "orthogonal"
+    load_size: int = 512
+    z_size: float = 200.0
+
+    def setup(self):
+        self.image_filter = ResnetColorFilter()
+        self.surface_classifier = SurfaceClassifier(
+            tuple(self.mlp_dim_color), no_residual=False, res_layers=(),
+            sigmoid=False, tanh=True)
+
+    def __call__(self, images, im_feat, points, calibs, transforms=None):
+        """images [B,S,S,3]; im_feat [B,h,w,256] = netG's last LR-stack
+        feature map; points [B,3,N] -> rgb [B,N,3] in [-1,1]."""
+        own = self.image_filter(images)
+        xyz = PROJECTIONS[self.projection_mode](points, calibs, transforms)
+        uv = jnp.swapaxes(xyz[:, :2, :], 1, 2)
+        z_feat = jnp.swapaxes(
+            normalize_depth(xyz[:, 2:3, :], self.load_size, self.z_size),
+            1, 2)
+        pf = jnp.concatenate([grid_sample_points(im_feat, uv),
+                              grid_sample_points(own, uv), z_feat],
+                             axis=-1)
+        return self.surface_classifier(pf)

@@ -26,6 +26,7 @@ class SurfaceClassifier(nn.Module):
     no_residual: bool = False
     res_layers: Sequence[int] = (2, 3, 4)
     sigmoid: bool = True
+    tanh: bool = False               # color-net last op (ResBlkPIFuNet.py:32)
 
     @nn.compact
     def __call__(self, feature: jnp.ndarray) -> jnp.ndarray:
@@ -47,6 +48,8 @@ class SurfaceClassifier(nn.Module):
                 y = y.reshape(-1, self.num_views, *y.shape[1:]).mean(axis=1)
                 tmpy = feature.reshape(
                     -1, self.num_views, *feature.shape[1:]).mean(axis=1)
-        if self.sigmoid:
+        if self.tanh:
+            y = jnp.tanh(y)
+        elif self.sigmoid:
             y = nn.sigmoid(y)
         return y

@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..recon.evaluator import _level_step, _prune_step, EvalFn
+from ..recon.evaluator import (_level_step, _prune_upsample,
+                               _level_schedule, _octree_state, EvalFn)
 from ..recon.grid import grid_matrix
 from ..recon.marching import extract_isosurface
 from .mesh import DATA_AXIS
@@ -89,33 +90,36 @@ class ShardedReconstructor:
             base = functools.partial(_level_step, self.eval_fn, self.R,
                                      reso, self.num_samples, self.mat)
 
-            def per_shard(sdf_hr, sdf_lr, dirty, ctx):
+            def per_shard(val_hr, val_lr, evald, rfh, rfl, ctx):
                 # strip the local batch axis (1 subject per device)
                 ctx0 = jax.tree.map(lambda x: x[0], ctx)
-                out = base(sdf_hr[0], sdf_lr[0], dirty[0], ctx0)
+                out = base(val_hr[0], val_lr[0], evald[0], rfh[0],
+                           rfl[0], ctx0)
                 return tuple(o[None] for o in out)
 
             ctx_spec = P(DATA_AXIS)  # leading batch axis on every leaf
             fn = shard_map(
                 per_shard, mesh=self.mesh,
-                in_specs=(_batched_spec(4),) * 3 + (ctx_spec,),
-                out_specs=(_batched_spec(4),) * 3,
+                in_specs=(_batched_spec(2),) * 5 + (ctx_spec,),
+                out_specs=(_batched_spec(2),) * 2,
                 check_rep=False)
             self._level_jits[reso] = jax.jit(fn)
         return self._level_jits[reso]
 
     def _prune(self, reso: int):
         if reso not in self._prune_jits:
-            base = functools.partial(_prune_step, self.R, reso,
-                                     self.threshold)
+            def base(vh, vl, ev, rfh, rfl):
+                return _prune_upsample(self.R, reso, self.threshold,
+                                       vh, vl, ev, rfh, rfl, None, None)
 
-            def per_shard(sdf_hr, sdf_lr, dirty):
-                out = base(sdf_hr[0], sdf_lr[0], dirty[0])
+            def per_shard(val_hr, val_lr, evald, rfh, rfl):
+                out = base(val_hr[0], val_lr[0], evald[0], rfh[0],
+                           rfl[0])
                 return tuple(o[None] for o in out)
 
             fn = shard_map(per_shard, mesh=self.mesh,
-                           in_specs=(_batched_spec(4),) * 3,
-                           out_specs=(_batched_spec(4),) * 3,
+                           in_specs=(_batched_spec(2),) * 5,
+                           out_specs=(_batched_spec(2),) * 5,
                            check_rep=False)
             self._prune_jits[reso] = jax.jit(fn)
         return self._prune_jits[reso]
@@ -124,27 +128,25 @@ class ShardedReconstructor:
         """ctx leaves: [B, ...] per-subject arrays. Returns
         (sdf_hr [B,R,R,R], sdf_lr [B,R,R,R])."""
         B, R = self.n_data, self.R
-        sharding4 = NamedSharding(self.mesh, _batched_spec(4))
-        sdf_hr = jax.device_put(jnp.zeros((B, R, R, R), jnp.float32),
-                                sharding4)
-        sdf_lr = jax.device_put(jnp.zeros((B, R, R, R), jnp.float32),
-                                sharding4)
-        dirty = jax.device_put(jnp.ones((B, R, R, R), bool), sharding4)
+        sharding2 = NamedSharding(self.mesh, _batched_spec(2))
+        state = _octree_state(R, self.init_resolution)
+        val_hr, val_lr, evald, rfh, rfl = (
+            jax.device_put(jnp.tile(x[None], (B, 1)), sharding2)
+            for x in state)
         ctx = jax.tree.map(
             lambda x: jax.device_put(
                 x, NamedSharding(self.mesh, _batched_spec(np.ndim(x)))),
             ctx)
 
-        reso = R // self.init_resolution
-        while reso > 0:
-            sdf_hr, sdf_lr, dirty = self._level(reso)(
-                sdf_hr, sdf_lr, dirty, ctx)
+        schedule = _level_schedule(R, self.init_resolution)
+        for reso in schedule:
+            val_hr, val_lr = self._level(reso)(val_hr, val_lr, evald,
+                                               rfh, rfl, ctx)
             if reso <= 1:
                 break
-            sdf_hr, sdf_lr, dirty = self._prune(reso)(sdf_hr, sdf_lr,
-                                                      dirty)
-            reso //= 2
-        return sdf_hr, sdf_lr
+            val_hr, val_lr, evald, rfh, rfl = self._prune(reso)(
+                val_hr, val_lr, evald, rfh, rfl)
+        return (val_hr.reshape(B, R, R, R), val_lr.reshape(B, R, R, R))
 
     def reconstruct(self, ctx: Any, level: float = 0.5
                     ) -> List[Tuple[np.ndarray, np.ndarray,

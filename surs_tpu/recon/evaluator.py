@@ -5,26 +5,46 @@ Replaces the reference's host-side chunked evaluators (``batch_eval``/
 
 The reference round-trips every <=50k-point chunk host<->GPU and prunes
 octree cells with a Python triple loop. Here the entire coarse-to-fine
-evaluation lives on device: query points are synthesized from integer
-lattice indices, dirty-cell compaction is a cumsum scatter, the
-data-dependent chunk count is a ``lax.while_loop``, and cell pruning is a
-vectorized 8-corner stencil. Only the final occupancy volumes cross back
-to the host (for marching cubes).
+evaluation lives on device and only the final occupancy volumes cross
+back to the host (for marching cubes).
 
-Pruning semantics match the reference exactly: a cell whose center is
-still dirty and whose 8 corner values span less than ``threshold`` is
-filled with ``(max+min)/2`` and marked clean; the dirty mask is shared
-between the HR and LR fields; only cells with base index < R - reso are
-tested (lib/sdf.py:79-117). The reference's sequential cell loop is
-order-independent (fills only ever write a cell's own block, and every
-corner a later cell reads is outside earlier cells' blocks), so the
-vectorized form is exact.
+Layout strategy (round 2): the reference materializes full R^3 arrays
+and touches them at every level through strided views; on TPU a strided
+view over the minor (lane) dimension is a shuffle, and round-1 profiling
+showed the per-level full-lattice passes — not the network queries —
+dominating 512^3 evaluation (prune at reso=2 alone: 1.2 s). So each
+level now lives on its OWN contiguous L^3 lattice:
+
+  * level state = (val_hr, val_lr [L^3] f32, evald, rf_hr, rf_lr
+    [L^3] bool), stored as the prefix of fixed R^3 flat buffers so the
+    expensive query chunk program compiles ONCE for every level;
+  * pruning reads the contiguous L^3 lattice directly (cells are
+    [L-1]^3, corners are shifted slices — no stride-reso gathers);
+  * between levels a fused fill+upsample expands [L]^3 -> [2L]^3:
+    even points copy their coarse value, points inside filled cells
+    take the cell's fill value, everything else starts at 0/dirty.
+
+Pruning semantics match the reference exactly (lib/sdf.py:79-117): a
+cell whose center is still dirty and whose 8 corner values span less
+than ``threshold`` is filled with ``(max+min)/2`` — overwriting every
+lattice point in its half-open block, including its base corner — and
+cleared; the dirty mask is shared between the HR and LR fields, while
+fill values are written per field. The reference's sequential cell loop
+is order-independent (every corner a cell reads lies outside all other
+cells' half-open blocks), so the vectorized form is exact; pinned by
+tests/test_recon.py's numpy oracles at 32^3 and 64^3.
+
+Dirty-point compaction is hierarchical: an `any` reduce marks dirty
+B^3-point blocks, the small block list is compacted, and the expensive
+point-level cumsum+scatter runs only over the points of dirty blocks
+(group-chunked) instead of the full lattice — on real fields a >10x
+scan reduction at 512^3.
 
 Compile discipline: ``eval_fn(points, ctx)`` receives every per-subject
-array (features, calibration, weights) through the ``ctx`` pytree, so the
-jitted level/prune programs are traced once per static shape and reused
-across subjects — pass a persistent ``cache`` dict (the Reconstructor in
-pipeline.py does).
+array (features, calibration, weights) through the ``ctx`` pytree, so
+the jitted level/prune programs are traced once per static shape and
+reused across subjects — pass a persistent ``cache`` dict (the
+Reconstructor in pipeline.py does).
 """
 
 from __future__ import annotations
@@ -42,17 +62,8 @@ from .grid import flat_index_to_world
 # eval_fn: ([3, C] world points, ctx pytree) -> (hr [C], lr [C])
 EvalFn = Callable[[jnp.ndarray, Any], Tuple[jnp.ndarray, jnp.ndarray]]
 
-# Hierarchical dirty-compaction parameters. The naive compaction cumsum
-# -scatters the FULL L^3 lattice every level; at 512^3 / reso=1 that is a
-# 134M-element scatter which dominates the whole reconstruction (round-1
-# xprof: ~80% of octree device time was compaction, not queries). Instead
-# the lattice is viewed as (L/B)^3 blocks of B^3 points: an `any` reduce
-# marks dirty blocks (bandwidth-bound, fast), the small block list is
-# compacted, and the expensive point-level cumsum+scatter runs only over
-# the points of up to _GROUP_BLOCKS dirty blocks at a time — on real
-# fields a >10x reduction in scan size. Results are bit-identical: the
-# same dirty points are evaluated, merely in block order.
-_BLOCK = 4            # lattice points per block edge (B)
+# Hierarchical dirty-compaction parameters (see module docstring).
+_BLOCK = 4             # lattice points per block edge (B)
 _GROUP_BLOCKS = 65536  # dirty blocks point-compacted per group (Mg)
 
 
@@ -65,15 +76,16 @@ def _two_level(L: int) -> bool:
     return L % _BLOCK == 0 and L ** 3 > _GROUP_BLOCKS * _BLOCK ** 3
 
 
-def _block_summary(lat, L: int, block: int, group_blocks: int):
+def _block_summary(lat_flat, L: int, block: int, group_blocks: int):
     """Compact the ids of lattice blocks containing any dirty point.
 
-    lat: [L, L, L] bool dirty lattice. Returns (blk_compact
+    lat_flat: [L^3] bool dirty lattice. Returns (blk_compact
     [(L/block)^3 + group_blocks] int32, nb). Entries past nb are zero.
     """
     Lb = L // block
     Lb3 = Lb ** 3
-    blk = lat.reshape(Lb, block, Lb, block, Lb, block).any(axis=(1, 3, 5))
+    lat = lat_flat.reshape(Lb, block, Lb, block, Lb, block)
+    blk = lat.any(axis=(1, 3, 5))
     flat = blk.reshape(-1)
     nb = jnp.sum(flat.astype(jnp.int32))
     pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
@@ -88,9 +100,8 @@ def _group_compact(lat_flat, blk_compact, g0, nb, L: int, block: int,
                    group_blocks: int, out_len: int):
     """Point-compact the dirty points of dirty blocks [g0, g0+Mg).
 
-    lat_flat: [L^3] bool (the level's dirty lattice, flattened). Returns
-    (compact [out_len] int32 flat lattice indices, na_g). Positions >=
-    na_g are zero (index 0 — consumers mask by count).
+    lat_flat: [L^3] bool. Returns (compact [out_len] int32 flat lattice
+    indices, na_g). Positions >= na_g are zero (consumers mask by count).
     """
     Lb = L // block
     B3 = block ** 3
@@ -119,100 +130,229 @@ def _group_compact(lat_flat, blk_compact, g0, nb, L: int, block: int,
     return compact, na_g
 
 
+def _full_compact(lat_flat, L3: int, out_len: int):
+    """Whole-lattice compaction into an out_len buffer (small lattices)."""
+    na = jnp.sum(lat_flat.astype(jnp.int32))
+    pos = jnp.cumsum(lat_flat.astype(jnp.int32)) - 1
+    target = jnp.where(lat_flat, pos, out_len)
+    compact = jnp.zeros((out_len,), jnp.int32).at[target].set(
+        jnp.arange(L3, dtype=jnp.int32), mode="drop")
+    return compact, na
+
+
+def _dirty_lat(evald_f, rfh_f, rfl_f, L: int, init_lat) -> jnp.ndarray:
+    """[L^3] bool: still-unknown lattice points of the current level.
+
+    A point is clean once evaluated OR once inside a cell filled for
+    EITHER field — the reference's dirty mask is shared between fields
+    (lib/sdf.py:103,113) while fill values are per field.
+    """
+    L3 = L ** 3
+    lat = (jnp.logical_not(evald_f[:L3])
+           & jnp.logical_not(rfh_f[:L3]) & jnp.logical_not(rfl_f[:L3]))
+    if init_lat is not None:
+        lat = lat & init_lat
+    return lat
+
+
+def _sample_init(init_dirty, R: int, reso: int):
+    """Current-level lattice sample of a full-resolution init mask."""
+    if init_dirty is None:
+        return None
+    if reso == 1:
+        return init_dirty.reshape(-1)
+    return init_dirty[::reso, ::reso, ::reso].reshape(-1)
+
+
+def _expandf(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """[A,A,A] -> [fA,fA,fA] nearest (value at floor(p/f))."""
+    A = x.shape[0]
+    x = jnp.broadcast_to(x[:, None, :, None, :, None],
+                         (A, f, A, f, A, f))
+    return x.reshape(f * A, f * A, f * A)
+
+
+def _pad_cells(c: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Pad a [n,n,n] cell array (n = L-1) to [L,L,L] with zeros/False."""
+    return jnp.pad(c, ((0, 1),) * 3)
+
+
+def _prune_upsample(R: int, reso: int, threshold: float,
+                    val_hr_f, val_lr_f, evald_f, rfh_f, rfl_f,
+                    init_lat, init_center):
+    """Fill prunable cells of the [L]^3 level and expand to the next
+    level's [fL]^3 lattice (f = reso // next_reso, 2 except for the
+    reference's 3->1 halving step).
+
+    Vectorized equivalent of the reference's per-cell interpolation loop
+    (lib/sdf.py:81-117) followed by the implicit move to the next octree
+    level. Returns updated flat (val_hr_f, val_lr_f, evald_f, rfh_f,
+    rfl_f). Region masks are PER FIELD because fill values are per field
+    while the dirty mask is shared: a cell filled only for lr clears
+    dirty for both, but hr values inside it keep their evaluated-or-zero
+    state (lib/sdf.py:96-117). ``init_lat``/``init_center``: optional
+    init-dirty samples on the current lattice / at next-level cell
+    centers (both None when the evaluation starts fully dirty).
+    """
+    L = R // reso
+    L3 = L ** 3
+    n = L - 1
+    f = reso // (reso // 2)   # expansion factor to the next lattice
+    val_hr = val_hr_f[:L3].reshape(L, L, L)
+    val_lr = val_lr_f[:L3].reshape(L, L, L)
+    evald = evald_f[:L3].reshape(L, L, L)
+    rfh = rfh_f[:L3].reshape(L, L, L)
+    rfl = rfl_f[:L3].reshape(L, L, L)
+
+    # after the level's evaluation, every dirty lattice point is known
+    evald = evald | _dirty_lat(evald_f, rfh_f, rfl_f, L,
+                               init_lat).reshape(L, L, L)
+
+    def spans(v):
+        c = jnp.stack([
+            v[:-1, :-1, :-1], v[:-1, :-1, 1:], v[:-1, 1:, :-1],
+            v[:-1, 1:, 1:], v[1:, :-1, :-1], v[1:, :-1, 1:],
+            v[1:, 1:, :-1], v[1:, 1:, 1:]])
+        return c.min(axis=0), c.max(axis=0)          # [n,n,n]
+
+    vmin_hr, vmax_hr = spans(val_hr)
+    vmin_lr, vmax_lr = spans(val_lr)
+
+    # cell center = a next-level point never on any coarser lattice:
+    # dirty unless inside an earlier-filled region or pre-pruned by the
+    # init mask (lib/sdf.py:84-87)
+    center_ok = jnp.logical_not(rfh[:n, :n, :n] | rfl[:n, :n, :n])
+    if init_center is not None:
+        center_ok = center_ok & init_center
+    fill_hr = center_ok & ((vmax_hr - vmin_hr) < threshold)
+    fill_lr = center_ok & ((vmax_lr - vmin_lr) < threshold)
+
+    # expand to the next [fL]^3 lattice
+    L2 = f * L
+    e1 = (jnp.arange(L2, dtype=jnp.int32) % f) == 0
+    coarse_pt = (e1[:, None, None] & e1[None, :, None]
+                 & e1[None, None, :])   # fine point coincides w/ coarse
+
+    def expand_field(val, rf_field, fill, vmin, vmax):
+        vb = _expandf(val, f)       # value of the enclosing cell's base
+        nf = _expandf(_pad_cells(fill, L), f)
+        fv = _expandf(_pad_cells((vmax + vmin) * 0.5, L), f)
+        rf_old = _expandf(_pad_cells(rf_field[:n, :n, :n], L), f)
+        keep = rf_old | coarse_pt   # carries old-region or coarse value
+        val2 = jnp.where(nf, fv, jnp.where(keep, vb, 0.0))
+        rf2 = _expandf(_pad_cells(rf_field[:n, :n, :n] | fill, L), f)
+        return val2, rf2
+
+    val2_hr, rfh2 = expand_field(val_hr, rfh, fill_hr, vmin_hr, vmax_hr)
+    val2_lr, rfl2 = expand_field(val_lr, rfl, fill_lr, vmin_lr, vmax_lr)
+    evald2 = _expandf(evald, f) & coarse_pt
+
+    L23 = L2 ** 3
+    val_hr_f = val_hr_f.at[:L23].set(val2_hr.reshape(-1))
+    val_lr_f = val_lr_f.at[:L23].set(val2_lr.reshape(-1))
+    evald_f = evald_f.at[:L23].set(evald2.reshape(-1))
+    rfh_f = rfh_f.at[:L23].set(rfh2.reshape(-1))
+    rfl_f = rfl_f.at[:L23].set(rfl2.reshape(-1))
+    return val_hr_f, val_lr_f, evald_f, rfh_f, rfl_f
+
+
+def _sample_init_center(init_dirty, R: int, reso: int):
+    """init-dirty values at next-level cell centers [n,n,n]."""
+    if init_dirty is None:
+        return None
+    n = R // reso - 1
+    half = reso // 2
+    return init_dirty[half::reso, half::reso, half::reso][:n, :n, :n]
+
+
+def _level_schedule(R: int, init_resolution: int):
+    """Reference reso halving schedule, validated for the level-local
+    lattice representation: every stride must divide R and each next
+    stride must divide its predecessor (true for all power-of-two
+    R/init_resolution ratios, i.e. every reference-shaped config)."""
+    reso = R // init_resolution
+    out = []
+    while reso > 0:
+        out.append(reso)
+        reso //= 2
+    for i, s in enumerate(out):
+        nxt = out[i + 1] if i + 1 < len(out) else None
+        if R % s != 0 or (nxt is not None and s % nxt != 0):
+            raise ValueError(
+                f"unsupported octree schedule {out} for resolution {R}: "
+                f"every stride must divide the resolution and each "
+                f"halved stride its predecessor — use a power-of-two "
+                f"resolution/init_resolution ratio (reference-shaped "
+                f"configs; lib/sdf.py:56-57)")
+    return out
+
+
 def _level_step(eval_fn: EvalFn, R: int, reso: int, chunk: int,
-                mat: np.ndarray, sdf_hr, sdf_lr, dirty, ctx):
-    """Evaluate every still-dirty lattice point at stride ``reso``."""
+                mat: np.ndarray, val_hr_f, val_lr_f, evald_f, rfh_f,
+                rfl_f, ctx, init_lat=None):
+    """Evaluate every still-dirty lattice point at stride ``reso``.
+
+    State is the flat-prefix representation (module docstring); only the
+    [L^3] prefix of each buffer is touched.
+    """
     L = R // reso
     L3 = L * L * L
-    lat = dirty[::reso, ::reso, ::reso] if reso > 1 else dirty
+    R3 = R ** 3
+    lat_flat = _dirty_lat(evald_f, rfh_f, rfl_f, L, init_lat)
+    scale = jnp.asarray(np.diag(mat[:3, :3]) * reso, jnp.float32)
+    offset = jnp.asarray(mat[:3, 3], jnp.float32)
 
     def eval_chunks(compact, na, carry):
-        """Dispatch eval over compacted indices [0, na) in `compact`."""
         def body(c2):
-            sdf_hr, sdf_lr, dirty, c = c2
+            val_hr_f, val_lr_f, c = c2
             idx = lax.dynamic_slice(compact, (c * chunk,), (chunk,))
-            valid = (c * chunk + jnp.arange(chunk, dtype=jnp.int32)) < na
-            pts = flat_index_to_world(idx, L, reso, mat)
+            k = idx % L
+            j = (idx // L) % L
+            i = idx // (L * L)
+            pts = (jnp.stack([i, j, k]).astype(jnp.float32)
+                   * scale[:, None] + offset[:, None])
             hr, lr = eval_fn(pts, ctx)
-            k = (idx % L) * reso
-            j = ((idx // L) % L) * reso
-            i = (idx // (L * L)) * reso
-            i = jnp.where(valid, i, R)  # out-of-bounds -> dropped
-            sdf_hr = sdf_hr.at[i, j, k].set(hr, mode="drop")
-            sdf_lr = sdf_lr.at[i, j, k].set(lr, mode="drop")
-            dirty = dirty.at[i, j, k].set(False, mode="drop")
-            return sdf_hr, sdf_lr, dirty, c + 1
+            valid = (c * chunk + jnp.arange(chunk, dtype=jnp.int32)) < na
+            tgt = jnp.where(valid, idx, R3)   # out-of-bounds -> dropped
+            val_hr_f = val_hr_f.at[tgt].set(hr, mode="drop")
+            val_lr_f = val_lr_f.at[tgt].set(lr, mode="drop")
+            return val_hr_f, val_lr_f, c + 1
 
         num_chunks = (na + chunk - 1) // chunk
-        sdf_hr, sdf_lr, dirty, _ = lax.while_loop(
-            lambda c2: c2[3] < num_chunks, body, carry + (jnp.int32(0),))
-        return sdf_hr, sdf_lr, dirty
+        val_hr_f, val_lr_f, _ = lax.while_loop(
+            lambda c2: c2[2] < num_chunks, body,
+            carry + (jnp.int32(0),))
+        return val_hr_f, val_lr_f
 
     if not _two_level(L):
-        flat = lat.reshape(-1)
-        na = jnp.sum(flat.astype(jnp.int32))
-        pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
-        target = jnp.where(flat, pos, L3 + chunk)  # clean -> dropped
-        compact = jnp.zeros((L3 + chunk,), jnp.int32).at[target].set(
-            jnp.arange(L3, dtype=jnp.int32), mode="drop")
-        return eval_chunks(compact, na, (sdf_hr, sdf_lr, dirty))
+        compact, na = _full_compact(lat_flat, L3, L3 + chunk)
+        return eval_chunks(compact, na, (val_hr_f, val_lr_f))
 
     out_len = _GROUP_BLOCKS * _BLOCK ** 3 + chunk
-    blk_compact, nb = _block_summary(lat, L, _BLOCK, _GROUP_BLOCKS)
+    blk_compact, nb = _block_summary(lat_flat, L, _BLOCK, _GROUP_BLOCKS)
 
     def group_body(carry):
-        sdf_hr, sdf_lr, dirty, g = carry
-        lat_g = (dirty[::reso, ::reso, ::reso] if reso > 1
-                 else dirty).reshape(-1)
+        val_hr_f, val_lr_f, g = carry
         compact, na_g = _group_compact(
-            lat_g, blk_compact, g * _GROUP_BLOCKS, nb, L, _BLOCK,
+            lat_flat, blk_compact, g * _GROUP_BLOCKS, nb, L, _BLOCK,
             _GROUP_BLOCKS, out_len)
-        sdf_hr, sdf_lr, dirty = eval_chunks(compact, na_g,
-                                            (sdf_hr, sdf_lr, dirty))
-        return sdf_hr, sdf_lr, dirty, g + 1
+        val_hr_f, val_lr_f = eval_chunks(compact, na_g,
+                                         (val_hr_f, val_lr_f))
+        return val_hr_f, val_lr_f, g + 1
 
-    sdf_hr, sdf_lr, dirty, _ = lax.while_loop(
-        lambda c2: c2[3] * _GROUP_BLOCKS < nb, group_body,
-        (sdf_hr, sdf_lr, dirty, jnp.int32(0)))
-    return sdf_hr, sdf_lr, dirty
+    val_hr_f, val_lr_f, _ = lax.while_loop(
+        lambda c2: c2[2] * _GROUP_BLOCKS < nb, group_body,
+        (val_hr_f, val_lr_f, jnp.int32(0)))
+    return val_hr_f, val_lr_f
 
 
-def _prune_step(R: int, reso: int, threshold: float, sdf_hr, sdf_lr, dirty):
-    """Vectorized equivalent of the reference's per-cell interpolation
-    loop (lib/sdf.py:81-117)."""
-    L = R // reso
-    n = L - 1  # cells per axis: x in range(0, R - reso, reso)
-
-    def spans(sdf):
-        s = sdf[::reso, ::reso, ::reso]
-        v = jnp.stack([
-            s[:-1, :-1, :-1], s[:-1, :-1, 1:], s[:-1, 1:, :-1],
-            s[:-1, 1:, 1:], s[1:, :-1, :-1], s[1:, :-1, 1:],
-            s[1:, 1:, :-1], s[1:, 1:, 1:]])
-        return v.min(axis=0), v.max(axis=0)  # [n, n, n] each
-
-    vmin_hr, vmax_hr = spans(sdf_hr)
-    vmin_lr, vmax_lr = spans(sdf_lr)
-    half = reso // 2
-    center_dirty = dirty[half::reso, half::reso, half::reso][:n, :n, :n]
-
-    fill_hr = center_dirty & ((vmax_hr - vmin_hr) < threshold)
-    fill_lr = center_dirty & ((vmax_lr - vmin_lr) < threshold)
-
-    def up(x):
-        x = jnp.repeat(x, reso, axis=0)
-        x = jnp.repeat(x, reso, axis=1)
-        return jnp.repeat(x, reso, axis=2)
-
-    reg = n * reso  # == R - reso
-    sl = (slice(0, reg),) * 3
-    sdf_hr = sdf_hr.at[sl].set(jnp.where(
-        up(fill_hr), up((vmax_hr + vmin_hr) * 0.5), sdf_hr[sl]))
-    sdf_lr = sdf_lr.at[sl].set(jnp.where(
-        up(fill_lr), up((vmax_lr + vmin_lr) * 0.5), sdf_lr[sl]))
-    dirty = dirty.at[sl].set(jnp.where(up(fill_hr | fill_lr), False,
-                                       dirty[sl]))
-    return sdf_hr, sdf_lr, dirty
+def _octree_state(R: int, init_resolution: int):
+    """Fresh flat level-state buffers (val_hr, val_lr, evald, rf_hr,
+    rf_lr); only the current level's L^3 prefix of each is live."""
+    R3 = R ** 3
+    return (jnp.zeros((R3,), jnp.float32), jnp.zeros((R3,), jnp.float32),
+            jnp.zeros((R3,), bool), jnp.zeros((R3,), bool),
+            jnp.zeros((R3,), bool))
 
 
 def eval_grid_octree(eval_fn: EvalFn, resolution: int, mat: np.ndarray,
@@ -224,36 +364,51 @@ def eval_grid_octree(eval_fn: EvalFn, resolution: int, mat: np.ndarray,
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Coarse-to-fine evaluation of the (hr, lr) occupancy fields.
 
+    Fully fused mode: one compiled program per level (compaction +
+    query while_loop) plus one per prune/upsample — no host syncs.
     Returns two [R, R, R] float32 device arrays. Per-subject arrays go
-    through ``ctx`` (a pytree forwarded to ``eval_fn``); pass the same
-    ``cache`` dict across calls to reuse compiled level programs.
+    through ``ctx``; pass the same ``cache`` dict across calls to reuse
+    compiled level programs.
     """
     R = resolution
     mat = np.asarray(mat)
-    sdf_hr = jnp.zeros((R, R, R), jnp.float32)
-    sdf_lr = jnp.zeros((R, R, R), jnp.float32)
-    dirty = (init_dirty if init_dirty is not None
-             else jnp.ones((R, R, R), bool))
-
     cache = cache if cache is not None else {}
-    base_key = ("oct", R, num_samples, float(threshold), mat.tobytes())
-    reso = R // init_resolution
-    while reso > 0:
+    base_key = ("oct", R, num_samples, float(threshold), mat.tobytes(),
+                init_dirty is not None)
+    has_init = init_dirty is not None
+    state = _octree_state(R, init_resolution)
+
+    schedule = _level_schedule(R, init_resolution)
+    for reso in schedule:
+        init_lat = _sample_init(init_dirty, R, reso)
         lkey = base_key + ("level", reso)
         if lkey not in cache:
-            fn = functools.partial(_level_step, eval_fn, R, reso,
-                                   num_samples, mat)
+            def build(reso=reso, has_init=has_init):
+                def f(state, ctx, init_lat):
+                    vh, vl = _level_step(
+                        eval_fn, R, reso, num_samples, mat, *state, ctx,
+                        init_lat if has_init else None)
+                    return (vh, vl) + state[2:]
+                return f
+            fn = build()
             cache[lkey] = jax.jit(fn) if jit else fn
-        sdf_hr, sdf_lr, dirty = cache[lkey](sdf_hr, sdf_lr, dirty, ctx)
+        state = cache[lkey](state, ctx, init_lat)
         if reso <= 1:
             break
         pkey = base_key + ("prune", reso)
         if pkey not in cache:
-            fn = functools.partial(_prune_step, R, reso, threshold)
+            def buildp(reso=reso, has_init=has_init):
+                def f(state, init_lat, init_center):
+                    return _prune_upsample(
+                        R, reso, threshold, *state,
+                        init_lat if has_init else None,
+                        init_center if has_init else None)
+                return f
+            fn = buildp()
             cache[pkey] = jax.jit(fn) if jit else fn
-        sdf_hr, sdf_lr, dirty = cache[pkey](sdf_hr, sdf_lr, dirty)
-        reso //= 2
-    return sdf_hr, sdf_lr
+        init_center = _sample_init_center(init_dirty, R, reso)
+        state = cache[pkey](state, init_lat, init_center)
+    return state[0].reshape(R, R, R), state[1].reshape(R, R, R)
 
 
 def silhouette_dirty_mask(mask_img: jnp.ndarray, calib, resolution: int,
@@ -319,20 +474,20 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
     Numerically identical to :func:`eval_grid_octree`, but the expensive
     query program (``eval_fn`` — gathers + fused MLPs) is compiled ONCE
     for a fixed chunk shape and re-dispatched, while the per-level
-    programs (dirty-compaction, index->points, scatter, prune) are small
-    separate jits. On backends where compilation is expensive (remote
-    -compile TPU terminals) this cuts octree compile time by an order of
-    magnitude at the cost of a few hundred async dispatches and one
-    device->host sync per level (the dirty count).
+    programs (compaction, prune/upsample) are small separate jits. On
+    backends where compilation is expensive (remote-compile TPU
+    terminals) this cuts octree compile time by an order of magnitude at
+    the cost of a few hundred async dispatches and one device->host sync
+    per level (the dirty count).
     """
     R = resolution
     C = num_samples
+    R3 = R ** 3
     mat = np.asarray(mat)
     cache = cache if cache is not None else {}
-    sdf_hr = jnp.zeros((R, R, R), jnp.float32)
-    sdf_lr = jnp.zeros((R, R, R), jnp.float32)
-    dirty = (init_dirty if init_dirty is not None
-             else jnp.ones((R, R, R), bool))
+    has_init = init_dirty is not None
+    val_hr_f, val_lr_f, evald_f, rfh_f, rfl_f = _octree_state(
+        R, init_resolution)
 
     def get(key, builder):
         if key not in cache:
@@ -345,95 +500,92 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
     S = cap + C
 
     # Single chunk program shared by ALL levels AND all bounding boxes:
-    # the lattice size L, stride reso, and the index->world affine enter
-    # as traced scalars/arrays, so one compile of the expensive query
-    # program serves every coarse-to-fine schedule — one dispatch/chunk.
+    # lattice size L and the index->world affine enter as traced
+    # scalars/arrays, so one compile of the expensive query program
+    # serves every coarse-to-fine schedule — one dispatch per chunk.
     def chunk_builder(buf_len):
-        def f(sdf_hr, sdf_lr, dirty, compact, start, na, L, reso,
-              scale, offset, ctx):
-            idx = lax.dynamic_slice(compact, (start,), (C,))
-            kg = idx % L
-            jg = (idx // L) % L
-            ig = idx // (L * L)
-            ijk = (jnp.stack([ig, jg, kg]).astype(jnp.float32)
-                   * reso.astype(jnp.float32))
-            pts = ijk * scale[:, None] + offset[:, None]
-            hr, lr = eval_fn(pts, ctx)
-            valid = (start + jnp.arange(C, dtype=jnp.int32)) < na
-            i = jnp.where(valid, ig * reso, R)
-            j = jg * reso
-            k = kg * reso
-            sdf_hr = sdf_hr.at[i, j, k].set(hr, mode="drop")
-            sdf_lr = sdf_lr.at[i, j, k].set(lr, mode="drop")
-            dirty = dirty.at[i, j, k].set(False, mode="drop")
-            return sdf_hr, sdf_lr, dirty
-        return lambda: f
+        def build():
+            def f(val_hr_f, val_lr_f, compact, start, na, L, scale,
+                  offset, ctx):
+                idx = lax.dynamic_slice(compact, (start,), (C,))
+                k = idx % L
+                j = (idx // L) % L
+                i = idx // (L * L)
+                pts = (jnp.stack([i, j, k]).astype(jnp.float32)
+                       * scale[:, None] + offset[:, None])
+                hr, lr = eval_fn(pts, ctx)
+                valid = (start + jnp.arange(C, dtype=jnp.int32)) < na
+                tgt = jnp.where(valid, idx, R3)
+                val_hr_f = val_hr_f.at[tgt].set(hr, mode="drop")
+                val_lr_f = val_lr_f.at[tgt].set(lr, mode="drop")
+                return val_hr_f, val_lr_f
+            return f
+        return build
 
-    scale_arr = jnp.asarray(np.diag(mat[:3, :3]), jnp.float32)
     offset_arr = jnp.asarray(mat[:3, 3], jnp.float32)
 
-    def dispatch_chunks(chunk_fn, compact, na, na_host, L, reso,
-                        sdf_hr, sdf_lr, dirty):
+    def dispatch_chunks(chunk_fn, compact, na, na_host, L, reso):
+        nonlocal val_hr_f, val_lr_f
         if stats_out is not None:
             stats_out.setdefault("queries", 0)
             stats_out.setdefault("chunks", 0)
             stats_out["queries"] += na_host
             stats_out["chunks"] += -(-na_host // C) if na_host else 0
         Lj = jnp.int32(L)
-        resoj = jnp.int32(reso)
+        scale_arr = jnp.asarray(np.diag(mat[:3, :3]) * reso, jnp.float32)
         for c in range(0, na_host, C):
-            sdf_hr, sdf_lr, dirty = chunk_fn(
-                sdf_hr, sdf_lr, dirty, compact, jnp.int32(c), na, Lj,
-                resoj, scale_arr, offset_arr, ctx)
-        return sdf_hr, sdf_lr, dirty
+            val_hr_f, val_lr_f = chunk_fn(
+                val_hr_f, val_lr_f, compact, jnp.int32(c), na, Lj,
+                scale_arr, offset_arr, ctx)
 
-    base = ("hl", R, C, float(threshold), mat.tobytes())
-    reso = R // init_resolution
-    while reso > 0:
+    base = ("hl", R, C, float(threshold), mat.tobytes(), has_init)
+    schedule = _level_schedule(R, init_resolution)
+    for reso in schedule:
         L = R // reso
         L3 = L * L * L
+        init_lat = _sample_init(init_dirty, R, reso)
 
         if _two_level(L):
             # Hierarchical: block summary + first point-group in ONE
             # program (a single host sync covers the common case where
             # every dirty block fits one group).
             def summary0_builder(reso=reso, L=L):
-                def f(dirty):
-                    lat = (dirty[::reso, ::reso, ::reso] if reso > 1
-                           else dirty)
+                def f(evald_f, rfh_f, rfl_f, init_lat):
+                    lat = _dirty_lat(evald_f, rfh_f, rfl_f, L,
+                                     init_lat if has_init else None)
                     blk_compact, nb = _block_summary(
                         lat, L, _BLOCK, _GROUP_BLOCKS)
                     compact, na0 = _group_compact(
-                        lat.reshape(-1), blk_compact, jnp.int32(0), nb,
-                        L, _BLOCK, _GROUP_BLOCKS, S)
+                        lat, blk_compact, jnp.int32(0), nb, L, _BLOCK,
+                        _GROUP_BLOCKS, S)
                     return blk_compact, nb, compact, na0
                 return f
 
             def group_builder(reso=reso, L=L):
-                def f(dirty, blk_compact, g0, nb):
-                    lat = (dirty[::reso, ::reso, ::reso] if reso > 1
-                           else dirty)
+                def f(evald_f, rfh_f, rfl_f, init_lat, blk_compact, g0,
+                      nb):
+                    lat = _dirty_lat(evald_f, rfh_f, rfl_f, L,
+                                     init_lat if has_init else None)
                     return _group_compact(
-                        lat.reshape(-1), blk_compact, g0, nb, L, _BLOCK,
+                        lat, blk_compact, g0, nb, L, _BLOCK,
                         _GROUP_BLOCKS, S)
                 return f
 
-            chunk_fn = get(("hl-chunk", R, C, S), lambda: chunk_builder(S)())
+            chunk_fn = get(("hl-chunk", R, C, S), chunk_builder(S))
             summary0 = get(base + ("summary0", reso), summary0_builder)
-            blk_compact, nb, compact, na0 = summary0(dirty)
+            blk_compact, nb, compact, na0 = summary0(evald_f, rfh_f,
+                                                     rfl_f, init_lat)
             nb_host, na_host = jax.device_get((nb, na0))
-            sdf_hr, sdf_lr, dirty = dispatch_chunks(
-                chunk_fn, compact, na0, int(na_host), L, reso,
-                sdf_hr, sdf_lr, dirty)
+            dispatch_chunks(chunk_fn, compact, na0, int(na_host), L, reso)
             if nb_host > _GROUP_BLOCKS:
                 group_fn = get(base + ("group", reso), group_builder)
                 for g0 in range(_GROUP_BLOCKS, int(nb_host),
                                 _GROUP_BLOCKS):
-                    compact, na_g = group_fn(dirty, blk_compact,
+                    compact, na_g = group_fn(evald_f, rfh_f, rfl_f,
+                                             init_lat, blk_compact,
                                              jnp.int32(g0), nb)
-                    sdf_hr, sdf_lr, dirty = dispatch_chunks(
-                        chunk_fn, compact, na_g, int(na_g), L, reso,
-                        sdf_hr, sdf_lr, dirty)
+                    dispatch_chunks(chunk_fn, compact, na_g, int(na_g),
+                                    L, reso)
         else:
             # Small lattice: full compaction into the shared buffer when
             # it fits, else (unusual non-power-of-two configs) into a
@@ -441,33 +593,36 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
             buf_len = S if L3 <= cap else L3 + C
 
             def compact_builder(reso=reso, L=L, L3=L3, buf_len=buf_len):
-                def f(dirty):
-                    flat = dirty[::reso, ::reso, ::reso].reshape(-1)
-                    na = jnp.sum(flat.astype(jnp.int32))
-                    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1
-                    target = jnp.where(flat, pos, buf_len)  # clean: drop
-                    compact = jnp.zeros((buf_len,), jnp.int32)
-                    compact = compact.at[target].set(
-                        jnp.arange(L3, dtype=jnp.int32), mode="drop")
-                    return compact, na
+                def f(evald_f, rfh_f, rfl_f, init_lat):
+                    lat = _dirty_lat(evald_f, rfh_f, rfl_f, L,
+                                     init_lat if has_init else None)
+                    return _full_compact(lat, L3, buf_len)
                 return f
 
             chunk_fn = get(("hl-chunk", R, C, buf_len),
                            chunk_builder(buf_len))
             compact_fn = get(base + ("compact", reso), compact_builder)
-            compact, na = compact_fn(dirty)
-            sdf_hr, sdf_lr, dirty = dispatch_chunks(
-                chunk_fn, compact, na, int(na), L, reso,
-                sdf_hr, sdf_lr, dirty)
+            compact, na = compact_fn(evald_f, rfh_f, rfl_f, init_lat)
+            dispatch_chunks(chunk_fn, compact, na, int(na), L, reso)
         if reso <= 1:
             break
         pkey = base + ("prune", reso)
         if pkey not in cache:
-            cache[pkey] = jax.jit(
-                functools.partial(_prune_step, R, reso, threshold))
-        sdf_hr, sdf_lr, dirty = cache[pkey](sdf_hr, sdf_lr, dirty)
-        reso //= 2
-    return sdf_hr, sdf_lr
+            def buildp(reso=reso):
+                def f(val_hr_f, val_lr_f, evald_f, rfh_f, rfl_f,
+                      init_lat, init_center):
+                    return _prune_upsample(
+                        R, reso, threshold, val_hr_f, val_lr_f,
+                        evald_f, rfh_f, rfl_f,
+                        init_lat if has_init else None,
+                        init_center if has_init else None)
+                return f
+            cache[pkey] = jax.jit(buildp())
+        init_center = _sample_init_center(init_dirty, R, reso)
+        val_hr_f, val_lr_f, evald_f, rfh_f, rfl_f = cache[pkey](
+            val_hr_f, val_lr_f, evald_f, rfh_f, rfl_f, init_lat,
+            init_center)
+    return val_hr_f.reshape(R, R, R), val_lr_f.reshape(R, R, R)
 
 
 def eval_grid_dense(eval_fn: EvalFn, resolution: int, mat: np.ndarray,

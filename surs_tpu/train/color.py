@@ -83,3 +83,24 @@ def colorize_vertices(color_net: ResBlkColorNet, params,
         pred = apply(params, image, jnp.asarray(pts)[None], calib)
         out[s:end] = np.asarray(pred[0, :end - s])
     return np.clip(out * 0.5 + 0.5, 0.0, 1.0)  # [-1,1] -> [0,1]
+
+
+def colorize_vertices_ref(color_net, params, image: jnp.ndarray,
+                          im_feat: jnp.ndarray, verts: np.ndarray,
+                          calib: jnp.ndarray,
+                          chunk: int = 65536) -> np.ndarray:
+    """colorize_vertices for the reference-compatible RefColorNet, whose
+    query attaches netG's pixel-aligned feature map (``im_feat`` — the
+    last LR hourglass stack output, ResBlkPIFuNet.py:46-48)."""
+    apply = jax.jit(lambda p, im, f, pts, cal: color_net.apply(
+        {"params": p}, im, f, pts, cal))
+    V = verts.shape[0]
+    out = np.empty((V, 3), np.float32)
+    pts_all = np.asarray(verts, np.float32).T  # [3, V]
+    for s in range(0, V, chunk):
+        end = min(s + chunk, V)
+        pts = np.zeros((3, chunk), np.float32)
+        pts[:, :end - s] = pts_all[:, s:end]
+        pred = apply(params, image, im_feat, jnp.asarray(pts)[None], calib)
+        out[s:end] = np.asarray(pred[0, :end - s])
+    return np.clip(out * 0.5 + 0.5, 0.0, 1.0)  # [-1,1] -> [0,1]

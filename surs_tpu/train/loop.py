@@ -65,7 +65,8 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
     test_dataset = TrainDataset(cfg, phase="test", yaw_list=yaw_list)
     loader = DataLoader(train_dataset, batch_size=cfg.batch_size,
                         shuffle=not cfg.serial_batches,
-                        num_threads=cfg.num_threads, seed=cfg.seed)
+                        num_threads=cfg.num_threads,
+                        num_workers=cfg.num_workers, seed=cfg.seed)
     print("train data size:", len(loader))
 
     model = surs_net_from_config(cfg)

@@ -154,6 +154,30 @@ def test_loader_resamples_on_error():
     assert (batch["x"][:, 0] % 2 == 0).all()  # only even items survive
 
 
+def test_loader_process_workers_match_single_process():
+    """num_workers>0 builds batches in worker PROCESSES; epoch order and
+    contents are identical to the in-process loader (VERDICT r1 #5)."""
+    kw = dict(batch_size=4, shuffle=True, seed=12)
+    ref = list(DataLoader(_ToyDataset(), **kw))
+    got = list(DataLoader(_ToyDataset(), num_workers=3, prefetch=2, **kw))
+    assert len(got) == len(ref) == 2
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a["x"], b["x"])
+        assert a["name"] == b["name"]
+
+
+def test_loader_process_workers_resample_and_errors():
+    dl = DataLoader(_FlakyDataset(), batch_size=5, shuffle=False,
+                    resample_on_error=True, seed=3, num_workers=2)
+    batch = list(dl)[0]
+    assert (batch["x"][:, 0] % 2 == 0).all()
+    # without resampling the worker's exception must surface in the parent
+    dl = DataLoader(_FlakyDataset(), batch_size=5, shuffle=False,
+                    num_workers=2)
+    with pytest.raises(IOError):
+        list(dl)
+
+
 def test_sample_surface_colors(rng):
     from surs_tpu.data.sampling import sample_surface_colors
     mesh = cube_mesh(half=1.0)

@@ -73,3 +73,82 @@ def test_eval_dataset_single_image(tmp_path, rng):
     assert item["mask_LR"].shape == (20, 20, 1)
     # masked region zeroed
     assert float(np.abs(item["img_LR"][0, 0, 0]).sum()) == 0.0
+
+
+def _make_eval_data(tmp_path, rng, S=16):
+    droot = tmp_path / "data"
+    (droot / "image_final").mkdir(parents=True)
+    (droot / "mask_final").mkdir(parents=True)
+    img = (rng.random((S, S, 3)) * 255).astype(np.uint8)
+    yy, xx = np.mgrid[:S, :S]
+    m = (((xx - S / 2) ** 2 + (yy - S / 2) ** 2)
+         < (S * 0.4) ** 2).astype(np.uint8) * 255
+    Image.fromarray(img).save(str(droot / "image_final" / "subj.png"))
+    Image.fromarray(m).save(str(droot / "mask_final" / "subj.png"))
+    return droot
+
+
+def test_eval_cli_torch_netc_color(tmp_path, rng, monkeypatch):
+    """Full eval CLI with a reference-format torch netC checkpoint:
+    strict import (no random fallback) + colored OBJ output."""
+    torch = pytest.importorskip("torch")
+    import json
+    import runpy
+    import sys
+
+    spec_path = os.path.join(os.path.dirname(__file__), "fixtures",
+                             "ref_netC_state_spec.json")
+    with open(spec_path) as f:
+        spec = json.load(f)
+    sd = {k: torch.as_tensor(
+        rng.standard_normal(shape).astype(np.float32) * 0.05)
+        for k, shape in spec.items()}
+    ckpt = str(tmp_path / "netC_epoch_1")
+    torch.save(sd, ckpt)
+
+    droot = _make_eval_data(tmp_path, rng)
+    app = os.path.join(os.path.dirname(__file__), "..", "apps",
+                       "eval_surs.py")
+    argv = ["eval_surs.py", "--dataroot", str(droot), "--name", "c1",
+            "--loadSize", "32", "--num_stack_lr", "2",
+            "--resolution", "16", "--num_samples", "256",
+            "--octree_init_resolution", "8",
+            "--b_min", "-0.5", "-0.5", "-0.5",
+            "--b_max", "0.5", "0.5", "0.5",
+            "--with_color", "--load_netC_checkpoint_path", ckpt,
+            "--results_path", str(tmp_path / "res")]
+    monkeypatch.setattr(sys, "argv", argv)
+    runpy.run_path(app, run_name="__main__")
+    res = tmp_path / "res" / "c1"
+    assert (res / "subj_HR.obj").exists()
+    color = res / "subj_HR_color.obj"
+    # color obj written iff the HR mesh is non-empty (random weights may
+    # legitimately produce an empty HR isosurface)
+    if os.path.getsize(res / "subj_HR.obj") > 0:
+        assert color.exists()
+        line = open(color).readline().split()
+        assert line[0] == "v" and len(line) == 7  # xyz + rgb
+
+
+def test_eval_cli_refuses_unmappable_netc(tmp_path, rng, monkeypatch):
+    """A torch netC checkpoint with unknown keys must ERROR, not fall
+    back to a random color net (round-1 VERDICT item 3)."""
+    torch = pytest.importorskip("torch")
+    import runpy
+    import sys
+
+    sd = {"image_filter.bogus.weight": torch.zeros(4, 4)}
+    ckpt = str(tmp_path / "netC_bad")
+    torch.save(sd, ckpt)
+    droot = _make_eval_data(tmp_path, rng)
+    app = os.path.join(os.path.dirname(__file__), "..", "apps",
+                       "eval_surs.py")
+    argv = ["eval_surs.py", "--dataroot", str(droot), "--name", "c2",
+            "--loadSize", "32", "--num_stack_lr", "2",
+            "--resolution", "16", "--num_samples", "256",
+            "--octree_init_resolution", "8",
+            "--with_color", "--load_netC_checkpoint_path", ckpt,
+            "--results_path", str(tmp_path / "res")]
+    monkeypatch.setattr(sys, "argv", argv)
+    with pytest.raises(KeyError):
+        runpy.run_path(app, run_name="__main__")
