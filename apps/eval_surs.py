@@ -38,15 +38,23 @@ def main():
 
     query_fn = None
     fw = None
+    pack = bool(getattr(cfg, "feature_pack", False))
     if cfg.use_pallas and jax.default_backend() != "cpu":
+        base_split = (cfg.hg_dim, cfg.mlp_dim_lr[0] - cfg.hg_dim) \
+            if pack else None
         fw = prepare_fused_weights(
             params["mlp_lr"], params["mlp_hr"], cfg.mlp_dim_lr,
-            cfg.mlp_dim_hr, cfg.mlp_res_layers_lr, cfg.mlp_res_layers_hr)
-        query_fn = make_fused_query_fn(cfg.loadSize, cfg.z_size)
+            cfg.mlp_dim_hr, cfg.mlp_res_layers_lr, cfg.mlp_res_layers_hr,
+            base_split=base_split)
+        query_fn = make_fused_query_fn(cfg.loadSize, cfg.z_size,
+                                       packed=pack)
+    else:
+        pack = False
 
     fdt = jnp.bfloat16 \
         if getattr(cfg, "feature_dtype", "float32") == "bfloat16" else None
-    rec = _get_reconstructor(model, query_fn, feature_dtype=fdt)
+    rec = _get_reconstructor(model, query_fn, feature_dtype=fdt,
+                             feature_pack=pack)
     weights = fw if fw is not None else params
 
     # optional color branch (netC): --with_color +

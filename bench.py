@@ -5,10 +5,16 @@ stacks, residual SR branch, 512 loadSize) with random weights on the
 available accelerator, and measures:
 
   * occupancy queries/sec — fused Pallas point-query path (projection +
-    pixel-aligned gather + dual 5-layer MLP) on 50k-point chunks, the
-    hot loop of 512^3 reconstruction;
-  * sec/mesh — full single-image reconstruction at the configured
-    resolution (octree evaluation + marching tetrahedra + OBJ write).
+    packed single-gather pixel-aligned sampling + dual 5-layer MLP),
+    the hot loop of 512^3 reconstruction;
+  * sec/mesh — full single-image reconstruction at the REFERENCE
+    OPERATING POINT (resolution 512, lib/options.py:55): octree field
+    evaluation + device marching tetrahedra + OBJ write, for both the
+    random-weight worst case and the mask_prune (visual hull) case.
+
+Timing discipline (see CLAUDE.md): this backend's block_until_ready can
+return before the dispatch queue is flushed, so every timing ends in a
+scalar FETCH; throughput loops are single compiled fori programs.
 
 Prints ONE JSON line. vs_baseline compares against the reference
 -architecture PyTorch-CPU implementation of the same query chunk
@@ -47,8 +53,8 @@ def main():
     on_tpu = backend not in ("cpu",)
 
     if on_tpu:
-        cfg = SuRSConfig(loadSize=512, residual=True, resolution=256,
-                         num_samples=50000,
+        cfg = SuRSConfig(loadSize=512, residual=True, resolution=512,
+                         num_samples=262144,
                          b_min=[-0.5, -0.5, -0.5], b_max=[0.5, 0.5, 0.5])
         S = cfg.loadSize // 2           # 256^2 LR input
     else:                               # smoke mode for CPU-only runs
@@ -60,6 +66,10 @@ def main():
     model = surs_net_from_config(cfg)
     rng = np.random.default_rng(0)
     img = jnp.asarray(rng.standard_normal((1, S, S, 3)).astype(np.float32))
+
+    def fetch(x):
+        """Reliable sync: materialize a scalar on the host."""
+        return float(jnp.asarray(x).reshape(-1)[0])
 
     t0 = time.time()
     enc = jax.jit(lambda p, x: model.apply({"params": p}, x, train=False,
@@ -73,103 +83,128 @@ def main():
     init = jax.jit(lambda k: model.init(k, img, img_hr0, pts0, pts0,
                                         calib, train=True))
     params = init(jax.random.PRNGKey(0))["params"]
-    _, feats_lr, feat_hr = jax.block_until_ready(enc(params, img))
+    _, feats_lr, feat_hr = enc(params, img)
+    fetch(feat_hr[0, 0, 0, 0])
     t_encode = time.time() - t0
     log(f"encode compiled+ran in {t_encode:.1f}s on {backend}")
 
+    # packed single-gather query path: weights split (C_lr, C_hr + 1)
+    base_split = (cfg.hg_dim, cfg.mlp_dim_lr[0] - cfg.hg_dim) \
+        if on_tpu else None
     fw = prepare_fused_weights(params["mlp_lr"], params["mlp_hr"],
                                cfg.mlp_dim_lr, cfg.mlp_dim_hr,
-                               cfg.mlp_res_layers_lr, cfg.mlp_res_layers_hr)
+                               cfg.mlp_res_layers_lr,
+                               cfg.mlp_res_layers_hr,
+                               dtype=jnp.bfloat16 if on_tpu
+                               else jnp.float32,
+                               base_split=base_split)
     query_fn = make_fused_query_fn(cfg.loadSize, cfg.z_size,
-                                   use_pallas=on_tpu)
+                                   use_pallas=on_tpu, packed=on_tpu)
 
-    # ---- queries/sec on 50k chunks (the production query program —
-    # shared with the octree evaluator's compile cache) ----
     from surs_tpu.recon.pipeline import Reconstructor
     rec = Reconstructor(model, query_fn=query_fn,
-                        feature_dtype=jnp.bfloat16 if on_tpu else None)
-    weights = fw if query_fn is not None else params
+                        feature_dtype=jnp.bfloat16 if on_tpu else None,
+                        feature_pack=on_tpu)
+    weights = fw
     chunk = cfg.num_samples
-    pts = jnp.asarray((rng.random((3, chunk)) - 0.5).astype(np.float32))
+    pts = jnp.asarray((rng.random((3, min(chunk, 50000))) - 0.5)
+                      .astype(np.float32))
 
     t0 = time.time()
-    jax.block_until_ready(
-        rec.query_points(weights, feats_lr, feat_hr, calib, pts))
+    q_hr, _ = rec.query_points(weights, feats_lr, feat_hr, calib, pts)
+    fetch(q_hr[0])
     log(f"query compiled in {time.time() - t0:.1f}s")
 
     # ---- primary metric: dense occupancy-query throughput ----
-    # one compiled program (fori_loop over 50k chunks) evaluating every
-    # point of a fixed R_dense^3 grid — workload-independent, no dispatch
-    # or elision artifacts
+    # one compiled program (fori_loop over chunks) evaluating every
+    # point of a fixed R_dense^3 grid — no dispatch or elision artifacts
     R_dense = 128 if on_tpu else 32
     dense_args = (weights, feats_lr, feat_hr, calib_b := np.asarray(calib),
                   R_dense, np.asarray(cfg.b_min), np.asarray(cfg.b_max))
     t0 = time.time()
     d_hr, d_lr, _ = rec.evaluate(*dense_args, use_octree=False,
                                  num_samples=chunk)
-    jax.block_until_ready(d_hr)
+    fetch(d_hr[0, 0, 0])
     log(f"dense eval compiled+ran in {time.time() - t0:.1f}s")
-    t0 = time.time()
-    d_hr, d_lr, _ = rec.evaluate(*dense_args, use_octree=False,
-                                 num_samples=chunk)
-    jax.block_until_ready(d_hr)
-    t_dense = time.time() - t0
+    t_dense = 1e30
+    for _ in range(2):
+        t0 = time.time()
+        d_hr, d_lr, _ = rec.evaluate(*dense_args, use_octree=False,
+                                     num_samples=chunk)
+        fetch(d_hr[0, 0, 0])
+        t_dense = min(t_dense, time.time() - t0)
     qps = R_dense ** 3 / t_dense
     log(f"dense qps = {qps:.0f} ({R_dense}^3 points / {t_dense:.2f}s)")
 
-    # ---- end-to-end mesh: device field evaluation (real model) +
-    # host marching tetrahedra / OBJ write on a realistic surface.
+    # ---- octree field evaluation at the reference operating point ----
+    def timed_eval(label, silhouette=None):
+        stats = {}
+        kw = dict(num_samples=cfg.num_samples, threshold=cfg.threshold,
+                  init_resolution=cfg.octree_init_resolution,
+                  silhouette=silhouette)
+        t0 = time.time()
+        sdf_hr, sdf_lr, mat = rec.evaluate(
+            weights, feats_lr, feat_hr, calib_b, cfg.resolution,
+            np.asarray(cfg.b_min), np.asarray(cfg.b_max),
+            stats_out=stats, **kw)
+        fetch(sdf_hr[0, 0, 0])
+        t_first = time.time() - t0
+        t_best = 1e30
+        for _ in range(2):
+            stats = {}
+            t0 = time.time()
+            sdf_hr, sdf_lr, mat = rec.evaluate(
+                weights, feats_lr, feat_hr, calib_b, cfg.resolution,
+                np.asarray(cfg.b_min), np.asarray(cfg.b_max),
+                stats_out=stats, **kw)
+            fetch(sdf_hr[0, 0, 0])
+            t_best = min(t_best, time.time() - t0)
+        log(f"octree eval [{label}]: first {t_first:.1f}s, steady "
+            f"{t_best:.2f}s, {stats.get('queries', 0)} queries")
+        return t_best, stats.get("queries", 0)
+
+    t_eval, oct_queries = timed_eval("random weights, no pruning")
+    # mask_prune: a centered disc silhouette (visual-hull pre-pruning)
+    Sm = cfg.loadSize // 2
+    yy, xx = np.mgrid[:Sm, :Sm].astype(np.float32)
+    disc = ((((xx - Sm / 2) ** 2 + (yy - Sm / 2) ** 2)
+             < (0.35 * Sm) ** 2)).astype(np.float32)
+    t_eval_mask, oct_queries_mask = timed_eval(
+        "random weights + mask_prune", silhouette=jnp.asarray(disc))
+
+    # ---- isosurface extraction + OBJ write on a realistic surface.
     # (A random-weight occupancy field hovers at 0.5 everywhere, which
     # would make every cell surface-active — a degenerate MC workload —
-    # so the host stages are timed on a sphere of the same resolution.)
-    from surs_tpu.recon.marching import extract_isosurface
+    # so the mesh stages are timed on a sphere of the same resolution.)
     from surs_tpu.recon.mesh_io import save_obj_mesh
-    t0 = time.time()
-    sdf_hr, sdf_lr, mat = rec.evaluate(
-        weights, feats_lr, feat_hr,
-        calib_b, cfg.resolution, np.asarray(cfg.b_min),
-        np.asarray(cfg.b_max), num_samples=cfg.num_samples,
-        threshold=cfg.threshold,
-        init_resolution=cfg.octree_init_resolution)
-    jax.block_until_ready(sdf_hr)
-    log(f"field eval (first, incl. compiles) {time.time() - t0:.1f}s")
-    t0 = time.time()
-    sdf_hr, sdf_lr, mat = rec.evaluate(
-        weights, feats_lr, feat_hr,
-        calib_b, cfg.resolution, np.asarray(cfg.b_min),
-        np.asarray(cfg.b_max), num_samples=cfg.num_samples,
-        threshold=cfg.threshold,
-        init_resolution=cfg.octree_init_resolution)
-    jax.block_until_ready(sdf_hr)
-    t_eval = time.time() - t0
-    log(f"field eval (steady-state) {t_eval:.2f}s")
-    stats = {}
-    t0 = time.time()
-    sdf_hr, sdf_lr, mat = rec.evaluate(
-        weights, feats_lr, feat_hr,
-        calib_b, cfg.resolution, np.asarray(cfg.b_min),
-        np.asarray(cfg.b_max), num_samples=cfg.num_samples,
-        threshold=cfg.threshold,
-        init_resolution=cfg.octree_init_resolution, stats_out=stats)
-    jax.block_until_ready(sdf_hr)
-    t_eval = time.time() - t0
-    oct_queries = stats.get("queries", 0)
-    log(f"octree: {oct_queries} queries in {t_eval:.2f}s")
-
     R = cfg.resolution
     g = np.mgrid[:R, :R, :R].astype(np.float32) - (R - 1) / 2
     sphere = 0.5 + (R * 0.35 - np.sqrt((g ** 2).sum(0))).astype(np.float32)
-    t0 = time.time()
-    verts, faces = extract_isosurface(sphere, 0.5)
-    t_mc = time.time() - t0
+    if on_tpu:
+        from surs_tpu.recon.tetra_device import marching_tetrahedra_device
+        svol = jax.device_put(jnp.asarray(sphere))
+        fetch(svol[0, 0, 0])
+        verts, faces = marching_tetrahedra_device(svol, 0.5)  # compile
+        t0 = time.time()
+        verts, faces = marching_tetrahedra_device(svol, 0.5)
+        t_mc = time.time() - t0
+        mc_backend = "device"
+    else:
+        from surs_tpu.recon.marching import extract_isosurface
+        t0 = time.time()
+        verts, faces = extract_isosurface(sphere, 0.5)
+        t_mc = time.time() - t0
+        mc_backend = "host"
     with tempfile.TemporaryDirectory() as td:
         t0 = time.time()
         save_obj_mesh(os.path.join(td, "bench.obj"), verts, faces)
         t_obj = time.time() - t0
     # x2: the pipeline extracts and writes both the HR and LR meshes
-    t_mesh = t_eval + 2 * (t_mc + t_obj)
-    log(f"sec/mesh = {t_mesh:.2f} (eval {t_eval:.2f} + 2x(mc {t_mc:.2f} "
-        f"+ obj {t_obj:.2f})), {faces.shape[0]} faces")
+    t_mesh = t_eval_mask + 2 * (t_mc + t_obj)
+    t_mesh_worst = t_eval + 2 * (t_mc + t_obj)
+    log(f"sec/mesh = {t_mesh:.2f} mask_prune ({t_mesh_worst:.2f} "
+        f"unpruned) = eval {t_eval_mask:.2f} + 2x(mc[{mc_backend}] "
+        f"{t_mc:.2f} + obj {t_obj:.2f}); {faces.shape[0]} faces")
 
     result = {
         "metric": "occupancy_queries_per_sec",
@@ -179,13 +214,20 @@ def main():
         "extras": {
             "backend": backend,
             "sec_per_mesh": round(t_mesh, 3),
+            "sec_per_mesh_unpruned": round(t_mesh_worst, 3),
             "resolution": cfg.resolution,
+            "octree_eval_sec": round(t_eval, 3),
+            "octree_eval_sec_mask_prune": round(t_eval_mask, 3),
+            "octree_queries": oct_queries,
+            "octree_queries_mask_prune": oct_queries_mask,
+            "mc_backend": mc_backend,
+            "mc_sec": round(t_mc, 3),
+            "obj_sec": round(t_obj, 3),
             "encode_sec_first_call": round(t_encode, 3),
             "chunk": chunk,
             "dense_grid": R_dense,
-            "octree_queries": oct_queries,
-            "octree_eval_sec": round(t_eval, 3),
             "feature_dtype": "bfloat16" if on_tpu else "float32",
+            "feature_pack": bool(on_tpu),
         },
     }
     print(json.dumps(result))

@@ -1,0 +1,228 @@
+import sys, os, time
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), '..')))
+"""North-star end-to-end demo at the reference operating point.
+
+Builds a NON-SPHERE synthetic subject (an articulated humanoid implicit
+with HR surface detail and a smoothed LR variant), renders a full
+training layout at loadSize 512 with the JAX rasterizer, trains the
+flagship SuRSNet on it (fused Pallas train step), then reconstructs at
+512^3 with mask_prune + the packed bf16 query path + device marching
+tetrahedra, reporting steady-state sec/mesh and Chamfer distance vs the
+ground-truth mesh — the closest provable proxy to reference parity
+until a shipped checkpoint/dataset exists (reference operating point:
+README.md:38, lib/options.py:55).
+"""
+import tempfile
+import numpy as np, jax, jax.numpy as jnp
+from surs_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+from surs_tpu.config import SuRSConfig
+from surs_tpu.models import surs_net_from_config
+from surs_tpu.train import make_optimizer, create_train_state, make_train_step
+from surs_tpu.train.fused_step import make_fused_train_step
+from surs_tpu.train.loop import batch_to_device
+from surs_tpu.data import TrainDataset, DataLoader
+from surs_tpu.data.sampling import MeshData, sample_points_and_labels
+from surs_tpu.recon import load_obj
+from surs_tpu.recon.mesh_io import save_obj_mesh
+from surs_tpu.recon.tetra import marching_tetrahedra
+from surs_tpu.render.dataset_gen import render_dataset
+from surs_tpu.utils.metrics import chamfer_distance
+
+ON_TPU = jax.default_backend() != "cpu"
+LOAD = 512 if ON_TPU else 64
+RES = 512 if ON_TPU else 48
+ITERS_TRAIN = int(os.environ.get("SURS_DEMO_ITERS", "1500" if ON_TPU
+                                 else "60"))
+
+root = tempfile.mkdtemp(prefix="subject_")
+obj_dir = os.path.join(root, "GEO", "OBJ"); os.makedirs(obj_dir)
+
+
+# ---- subject: humanoid implicit (capsule union) ----
+def capsule(p, a, b, r):
+    a = np.asarray(a, np.float32); b = np.asarray(b, np.float32)
+    ap = p - a
+    ab = b - a
+    t = np.clip((ap @ ab) / (ab @ ab), 0.0, 1.0)
+    return np.linalg.norm(ap - t[:, None] * ab[None, :], axis=-1) - r
+
+
+def humanoid_sdf(p, detail=0.0):
+    """p [N, 3] (y up, subject in ~[-0.65, 0.85]^3) -> signed distance."""
+    d = capsule(p, (0, 0.20, 0), (0, 0.55, 0), 0.17)            # torso
+    d = np.minimum(d, capsule(p, (0, 0.60, 0), (0, 0.66, 0), 0.065))
+    d = np.minimum(d, capsule(p, (0, 0.74, 0), (0, 0.76, 0), 0.115))
+    for s in (-1, 1):                                            # arms
+        d = np.minimum(d, capsule(p, (s * 0.17, 0.52, 0),
+                                  (s * 0.40, 0.24, 0.05), 0.055))
+        d = np.minimum(d, capsule(p, (s * 0.40, 0.24, 0.05),
+                                  (s * 0.44, 0.02, 0.12), 0.05))
+        d = np.minimum(d, capsule(p, (s * 0.09, 0.16, 0),      # legs
+                                  (s * 0.12, -0.32, 0.02), 0.075))
+        d = np.minimum(d, capsule(p, (s * 0.12, -0.32, 0.02),
+                                  (s * 0.13, -0.62, 0.0), 0.06))
+        d = np.minimum(d, capsule(p, (s * 0.13, -0.62, 0.0),   # feet
+                                  (s * 0.13, -0.64, 0.12), 0.05))
+    if detail > 0:
+        d = d - detail * (np.sin(31.0 * p[:, 0]) * np.sin(29.0 * p[:, 1])
+                          * np.sin(33.0 * p[:, 2]))
+    return d
+
+
+def implicit_mesh(path, detail, R=160, lo=-0.85, hi=1.0):
+    g = np.linspace(lo, hi, R, dtype=np.float32)
+    P = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    vol = -humanoid_sdf(P, detail).reshape(R, R, R)   # inside-positive
+    verts, faces = marching_tetrahedra(vol, 0.0)
+    verts = lo + verts * (hi - lo) / (R - 1)
+    save_obj_mesh(path, verts, faces)
+    return verts, faces
+
+
+t0 = time.time()
+implicit_mesh(os.path.join(obj_dir, "h0_HR.obj"), detail=0.012)
+implicit_mesh(os.path.join(obj_dir, "h0_LR.obj"), detail=0.0)
+open(os.path.join(root, "val.txt"), "w").write("")
+print(f"subject meshes built in {time.time()-t0:.1f}s", flush=True)
+
+t0 = time.time()
+render_dataset(obj_dir, root, load_size=LOAD, yaw_step=30, patch=32)
+print(f"dataset rendered ({LOAD}px, 12 views) in {time.time()-t0:.1f}s",
+      flush=True)
+
+# sample cache with EXACT implicit labels (no mesh-containment noise)
+cache_dir = os.path.join(root, "SAMPLE_CACHE"); os.makedirs(cache_dir)
+mesh_hr = MeshData(*load_obj(os.path.join(obj_dir, "h0_HR.obj")))
+mesh_lr = MeshData(*load_obj(os.path.join(obj_dir, "h0_LR.obj")))
+N_INOUT = 6000 if ON_TPU else 512
+
+
+def contains_fn(pts, m):
+    detail = 0.012 if m is mesh_hr else 0.0
+    return humanoid_sdf(np.asarray(pts, np.float32), detail) < 0
+
+
+t0 = time.time()
+for d in range(16):
+    rngd = np.random.default_rng(1000 + d)
+    out = sample_points_and_labels(mesh_hr, mesh_lr, N_INOUT, 0.025,
+                                   np.array([-1.0]*3), np.array([1.0]*3),
+                                   rngd, contains_fn=contains_fn)
+    np.savez_compressed(os.path.join(cache_dir, f"h0_{d:03d}.npz"), **out)
+print(f"sample cache built in {time.time()-t0:.1f}s", flush=True)
+
+cfg = SuRSConfig(dataroot=root, name="subject", loadSize=LOAD,
+                 residual=ON_TPU,
+                 num_sample_inout=N_INOUT, sigma=0.025, batch_size=2,
+                 num_stack_lr=3 if ON_TPU else 2,
+                 learning_rate=4e-4, resolution=RES,
+                 num_samples=262144 if ON_TPU else 4096,
+                 octree_init_resolution=64 if ON_TPU else 16,
+                 feature_dtype="bfloat16" if ON_TPU else "float32",
+                 mask_prune=True,
+                 b_min=[-1.0]*3, b_max=[1.0]*3)
+model = surs_net_from_config(cfg)
+opt = make_optimizer(cfg)
+ds = TrainDataset(cfg, phase="train", yaw_list=list(range(0, 360, 30)))
+dl = DataLoader(ds, batch_size=2, shuffle=True, num_threads=2, seed=0)
+from surs_tpu.data.loader import collate
+init_b = batch_to_device(collate([ds[0], ds[1]]))
+state = create_train_state(model, opt, jax.random.PRNGKey(0), init_b)
+if ON_TPU:
+    step = make_fused_train_step(model, opt)
+else:
+    step = make_train_step(model, opt)
+t0 = time.time()
+it = 0
+first_loss = None
+while it < ITERS_TRAIN:
+    for raw in dl:
+        b = batch_to_device(raw)
+        state, m = step(state, b)
+        if it == 0 or it % 250 == 0:
+            loss = float(m["total"])
+            first_loss = loss if first_loss is None else first_loss
+            print(f"iter {it}: loss {loss:.4f} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
+        it += 1
+        if it >= ITERS_TRAIN:
+            break
+print(f"trained {ITERS_TRAIN} iters in {time.time()-t0:.1f}s; loss "
+      f"{first_loss:.3f} -> {float(m['total']):.3f}", flush=True)
+
+# ---- 512^3 reconstruction with the production inference path ----
+from surs_tpu.ops.fused_mlp import prepare_fused_weights
+from surs_tpu.ops.point_query import make_fused_query_fn
+from surs_tpu.recon.pipeline import Reconstructor
+
+item = ds.get_item(0)
+if ON_TPU:
+    fw = prepare_fused_weights(state.params["mlp_lr"],
+                               state.params["mlp_hr"],
+                               cfg.mlp_dim_lr, cfg.mlp_dim_hr,
+                               dtype=jnp.bfloat16, base_split=(256, 65))
+    qf = make_fused_query_fn(cfg.loadSize, cfg.z_size, packed=True)
+    rec = Reconstructor(model, query_fn=qf, feature_dtype=jnp.bfloat16,
+                        feature_pack=True)
+    weights = fw
+else:
+    rec = Reconstructor(model)
+    weights = state.params
+_, feats_lr, feat_hr = rec.encode(state.params,
+                                  jnp.asarray(item["img_LR"][None]))
+sil = jnp.asarray(item["mask_LR"])
+kw = dict(num_samples=cfg.num_samples, threshold=cfg.threshold,
+          init_resolution=cfg.octree_init_resolution)
+
+for use_sil in (False, True):
+    stats = {}
+    silh = sil if use_sil else None
+    t0 = time.time()
+    sdf_hr, _, mat = rec.evaluate(
+        weights, feats_lr, feat_hr, item["calib"][None], RES,
+        item["b_min"], item["b_max"], silhouette=silh, stats_out=stats,
+        **kw)
+    float(jnp.sum(sdf_hr[:2, :2, :2]))
+    t_first = time.time() - t0
+    t0 = time.time()
+    sdf_hr, _, mat = rec.evaluate(
+        weights, feats_lr, feat_hr, item["calib"][None], RES,
+        item["b_min"], item["b_max"], silhouette=silh, stats_out=stats,
+        **kw)
+    float(jnp.sum(sdf_hr[:2, :2, :2]))
+    t_eval = time.time() - t0
+    print(f"{RES}^3 eval (mask_prune={use_sil}): first {t_first:.1f}s, "
+          f"steady {t_eval:.2f}s, queries {stats.get('queries', 0)}",
+          flush=True)
+
+# mesh extraction (device MC on TPU) + OBJ write, timed
+if ON_TPU:
+    from surs_tpu.recon.tetra_device import marching_tetrahedra_device
+    marching_tetrahedra_device(sdf_hr, 0.5)        # compile
+    t0 = time.time()
+    verts, faces = marching_tetrahedra_device(sdf_hr, 0.5)
+    t_mc = time.time() - t0
+else:
+    from surs_tpu.recon.marching import extract_isosurface
+    t0 = time.time()
+    verts, faces = extract_isosurface(np.asarray(sdf_hr), 0.5)
+    t_mc = time.time() - t0
+verts = verts @ np.asarray(mat[:3, :3]).T + np.asarray(mat[:3, 3])
+out_path = os.path.join(root, "recon_HR.obj")
+t0 = time.time()
+save_obj_mesh(out_path, verts.astype(np.float32), faces)
+t_obj = time.time() - t0
+t_mesh = t_eval + 2 * (t_mc + t_obj)
+print(f"sec/mesh = {t_mesh:.2f} (eval {t_eval:.2f} + 2x(mc {t_mc:.2f} "
+      f"+ obj {t_obj:.2f})); {faces.shape[0]} faces", flush=True)
+
+if verts.shape[0] > 10:
+    ch, ab, ba = chamfer_distance(mesh_hr,
+                                  MeshData(verts.astype(np.float32),
+                                           faces), n_samples=4000)
+    print(f"chamfer vs GT humanoid: {ch:.4f} (gt->rec {ab:.4f}, "
+          f"rec->gt {ba:.4f}; subject scale ~1.7 => "
+          f"{100*ch/1.7:.2f}% of scale)", flush=True)
+else:
+    print("EMPTY MESH — training did not converge", flush=True)

@@ -150,7 +150,14 @@ class SuRSConfig:
     mesh_axis_data: str = "data"    # device-mesh axis for batch sharding
     mesh_axis_points: str = "points"  # device-mesh axis for query sharding
     use_pallas: bool = True         # fused Pallas point-query MLP
+    fused_train: bool = False       # train step queries via the Pallas
+                                    # kernel (custom_vjp backward)
     mask_prune: bool = False        # visual-hull octree pre-pruning
+    feature_pack: bool = False      # pack_bilinear'd single-gather
+                                    # sampling (fused query path only)
+    mc_backend: str = "host"        # isosurface extraction: 'host',
+                                    # 'device' (TPU marching tets), or
+                                    # 'auto' (device w/ host fallback)
     octree_init_resolution: int = 64
     use_octree: bool = True
     profile_dir: Optional[str] = None

@@ -121,17 +121,28 @@ def prepare_fused_weights(params_mlp_lr, params_mlp_hr,
                           dims_lr: Sequence[int], dims_hr: Sequence[int],
                           res_layers_lr: Sequence[int] = (2, 3, 4),
                           res_layers_hr: Sequence[int] = (2, 3, 4),
-                          dtype=jnp.float32) -> FusedWeights:
+                          dtype=jnp.float32,
+                          base_split: Sequence[int] | None = None
+                          ) -> FusedWeights:
     """Extract + pad SurfaceClassifier params for the fused kernel.
 
     ``params_mlp_*`` are the Flax param subtrees (mlp_lr / mlp_hr of
     SuRSNet). dims_hr[0] must equal dims_lr[0] + 1 (feature + coarse pred).
+
+    ``base_split``: optional partition of the base input's dims_lr[0]
+    channels into segments (e.g. ``(256, 65)`` = lr features | hr
+    features + depth). Each segment gets its own 128-aligned lane block,
+    and the kernel then accepts the segments as SEPARATE arrays — the
+    sampled feature tensors feed the MXU directly, with no [N, C_in]
+    concatenation pass in HBM.
     """
     dims_lr = tuple(dims_lr)
     dims_hr = tuple(dims_hr)
     assert dims_hr[0] == dims_lr[0] + 1
-    spec_lr = MLPSpec(dims_lr, tuple(res_layers_lr), (dims_lr[0],))
-    spec_hr = MLPSpec(dims_hr, tuple(res_layers_hr), (dims_lr[0], 1))
+    base = tuple(base_split) if base_split is not None else (dims_lr[0],)
+    assert sum(base) == dims_lr[0], (base, dims_lr[0])
+    spec_lr = MLPSpec(dims_lr, tuple(res_layers_lr), base)
+    spec_hr = MLPSpec(dims_hr, tuple(res_layers_hr), base + (1,))
     lr_w, lr_b = _pad_mlp(params_mlp_lr, spec_lr, dtype)
     hr_w, hr_b = _pad_mlp(params_mlp_hr, spec_hr, dtype)
     return FusedWeights(lr_w, lr_b, hr_w, hr_b, spec_lr, spec_hr)
@@ -191,21 +202,22 @@ def _mlp_chain(h_base_parts: List[jnp.ndarray], ws, bs, spec: MLPSpec,
     return h
 
 
-def _kernel(x_ref, *refs, n_lr: int, n_hr: int, spec_lr: MLPSpec,
+def _kernel(*refs, n_x: int, n_lr: int, n_hr: int, spec_lr: MLPSpec,
             spec_hr: MLPSpec, compute_dtype, split_concat: bool):
-    lr_w = [refs[i][:] for i in range(n_lr)]
-    lr_b = [refs[n_lr + i][:] for i in range(n_lr)]
-    hr_w = [refs[2 * n_lr + i][:] for i in range(n_hr)]
-    hr_b = [refs[2 * n_lr + n_hr + i][:] for i in range(n_hr)]
+    x_parts = [refs[i][:] for i in range(n_x)]     # [TN, Pi] each
+    o = n_x
+    lr_w = [refs[o + i][:] for i in range(n_lr)]
+    lr_b = [refs[o + n_lr + i][:] for i in range(n_lr)]
+    hr_w = [refs[o + 2 * n_lr + i][:] for i in range(n_hr)]
+    hr_b = [refs[o + 2 * n_lr + n_hr + i][:] for i in range(n_hr)]
     out_hr_ref = refs[-2]
     out_lr_ref = refs[-1]
 
-    x = x_ref[:]                                   # [TN, P0]
-    logit_lr = _mlp_chain([x], lr_w, lr_b, spec_lr, compute_dtype,
+    logit_lr = _mlp_chain(x_parts, lr_w, lr_b, spec_lr, compute_dtype,
                           split_concat)
     pred_lr = jax.nn.sigmoid(logit_lr[:, :1])      # [TN, 1]
     pred_pad = jnp.pad(pred_lr, ((0, 0), (0, 127)))
-    logit_hr = _mlp_chain([x, pred_pad], hr_w, hr_b, spec_hr,
+    logit_hr = _mlp_chain(x_parts + [pred_pad], hr_w, hr_b, spec_hr,
                           compute_dtype, split_concat)
     pred_hr = jax.nn.sigmoid(logit_hr[:, :1])
 
@@ -213,21 +225,30 @@ def _kernel(x_ref, *refs, n_lr: int, n_hr: int, spec_lr: MLPSpec,
     out_lr_ref[:] = jnp.pad(pred_lr, ((0, 0), (0, 127)))
 
 
-def fused_dual_mlp(x: jnp.ndarray, fw: FusedWeights, block_n: int = 512,
+def fused_dual_mlp(x, fw: FusedWeights, block_n: int = 512,
                    interpret: bool = False, split_concat: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Run both occupancy MLPs over point features.
 
-    x: [N, C_in] raw (unpadded) point features, C_in = dims_lr[0].
+    x: [N, C_in] raw (unpadded) point features, C_in = dims_lr[0] —
+    or a sequence of per-segment arrays [N, base_segments[i]] when the
+    weights were prepared with ``base_split`` (each segment is lane
+    -padded independently; no concatenated input tensor ever exists).
     Returns (pred_hr [N], pred_lr [N]) in [0, 1]. N is padded to a
     multiple of ``block_n`` internally.
     """
-    N, C = x.shape
-    assert C == fw.spec_lr.dims[0]
-    P0 = _round128(C)
+    segs = fw.spec_lr.base_segments
+    parts = list(x) if isinstance(x, (list, tuple)) else [x]
+    assert len(parts) == len(segs), (len(parts), segs)
+    N = parts[0].shape[0]
     n_pad = -N % block_n
-    xp = jnp.pad(x, ((0, n_pad), (0, P0 - C)))
     Np = N + n_pad
+    xps, part_widths = [], []
+    for p, real in zip(parts, segs):
+        assert p.shape == (N, real), (p.shape, (N, real))
+        P = _round128(real)
+        xps.append(jnp.pad(p, ((0, n_pad), (0, P - real))))
+        part_widths.append(P)
 
     n_lr = len(fw.lr_w)
     n_hr = len(fw.hr_w)
@@ -235,14 +256,16 @@ def fused_dual_mlp(x: jnp.ndarray, fw: FusedWeights, block_n: int = 512,
                      list(fw.hr_w) + list(fw.hr_b))
     compute_dtype = fw.lr_w[0].dtype
 
-    kernel = functools.partial(_kernel, n_lr=n_lr, n_hr=n_hr,
+    kernel = functools.partial(_kernel, n_x=len(xps), n_lr=n_lr,
+                               n_hr=n_hr,
                                spec_lr=fw.spec_lr, spec_hr=fw.spec_hr,
                                compute_dtype=compute_dtype,
                                split_concat=split_concat)
 
     grid = (Np // block_n,)
-    in_specs = [pl.BlockSpec((block_n, P0), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)]
+    in_specs = [pl.BlockSpec((block_n, P), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)
+                for P in part_widths]
     for w in weight_arrays:
         in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
@@ -256,22 +279,155 @@ def fused_dual_mlp(x: jnp.ndarray, fw: FusedWeights, block_n: int = 512,
         out_specs=out_specs,
         out_shape=[jax.ShapeDtypeStruct((Np, 128), jnp.float32)] * 2,
         interpret=interpret,
-    )(xp, *weight_arrays)
+    )(*xps, *weight_arrays)
     return out_hr[:N, 0], out_lr[:N, 0]
 
 
-def fused_dual_mlp_xla(x: jnp.ndarray, fw: FusedWeights
+def _kernel_train(xa_ref, xb_ref, ma_ref, *refs, n_lr: int, n_hr: int,
+                  spec_lr: MLPSpec, spec_hr: MLPSpec, compute_dtype):
+    """Training variant: the coarse MLP consumes xa (HR sample points),
+    the fine MLP consumes xb (LR sample points) conditioned on the
+    coarse prediction — the reference's train-time cross-wiring
+    (lib/model/SuRSNet.py:240-266). The conditioning uses the MASKED
+    coarse prediction (in-image mask in ma col 0): the reference stores
+    ``in_img * pred`` in its intermediate list (SuRSNet.py:156) and the
+    fine MLP concatenates that."""
+    lr_w = [refs[i][:] for i in range(n_lr)]
+    lr_b = [refs[n_lr + i][:] for i in range(n_lr)]
+    hr_w = [refs[2 * n_lr + i][:] for i in range(n_hr)]
+    hr_b = [refs[2 * n_lr + n_hr + i][:] for i in range(n_hr)]
+    out_hr_ref = refs[-2]
+    out_lr_ref = refs[-1]
+
+    logit_lr = _mlp_chain([xa_ref[:]], lr_w, lr_b, spec_lr, compute_dtype)
+    pred_lr = jax.nn.sigmoid(logit_lr[:, :1])
+    pred_cond = pred_lr * ma_ref[:, :1]
+    pred_pad = jnp.pad(pred_cond, ((0, 0), (0, 127)))
+    logit_hr = _mlp_chain([xb_ref[:], pred_pad], hr_w, hr_b, spec_hr,
+                          compute_dtype)
+    pred_hr = jax.nn.sigmoid(logit_hr[:, :1])
+    out_hr_ref[:] = jnp.pad(pred_hr, ((0, 0), (0, 127)))
+    out_lr_ref[:] = jnp.pad(pred_lr, ((0, 0), (0, 127)))
+
+
+def fused_dual_mlp_train(xa: jnp.ndarray, xb: jnp.ndarray,
+                         mask_a: jnp.ndarray, fw: FusedWeights,
+                         block_n: int = 512, interpret: bool = False
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Train-time fused chain: coarse MLP on ``xa`` [N, C_in], fine MLP
+    on ``xb`` [N, C_in] + (mask_a [N] * coarse prediction). Returns
+    (pred_hr [N], pred_lr [N]), both UNMASKED (callers apply their own
+    per-point-set masks). Weights must be single-segment."""
+    assert len(fw.spec_lr.base_segments) == 1
+    N, C = xa.shape
+    assert xb.shape == (N, C) and C == fw.spec_lr.dims[0]
+    P0 = _round128(C)
+    n_pad = -N % block_n
+    Np = N + n_pad
+    xap = jnp.pad(xa, ((0, n_pad), (0, P0 - C)))
+    xbp = jnp.pad(xb, ((0, n_pad), (0, P0 - C)))
+    map_ = jnp.pad(mask_a.astype(jnp.float32)[:, None],
+                   ((0, n_pad), (0, 127)))
+
+    n_lr = len(fw.lr_w)
+    n_hr = len(fw.hr_w)
+    weight_arrays = (list(fw.lr_w) + list(fw.lr_b) +
+                     list(fw.hr_w) + list(fw.hr_b))
+    kernel = functools.partial(_kernel_train, n_lr=n_lr, n_hr=n_hr,
+                               spec_lr=fw.spec_lr, spec_hr=fw.spec_hr,
+                               compute_dtype=fw.lr_w[0].dtype)
+    grid = (Np // block_n,)
+    in_specs = [pl.BlockSpec((block_n, P0), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM)] * 2
+    in_specs.append(pl.BlockSpec((block_n, 128), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    for w in weight_arrays:
+        in_specs.append(pl.BlockSpec(w.shape, lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_specs = [pl.BlockSpec((block_n, 128), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)] * 2
+    out_hr, out_lr = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((Np, 128), jnp.float32)] * 2,
+        interpret=interpret,
+    )(xap, xbp, map_, *weight_arrays)
+    return out_hr[:N, 0], out_lr[:N, 0]
+
+
+def fused_dual_mlp_train_xla(xa, xb, mask_a, fw: FusedWeights
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA twin of :func:`fused_dual_mlp_train` (differentiable)."""
+    C = fw.spec_lr.dims[0]
+    P0 = _round128(C)
+    xap = jnp.pad(xa, ((0, 0), (0, P0 - C)))
+    xbp = jnp.pad(xb, ((0, 0), (0, P0 - C)))
+    dt = fw.lr_w[0].dtype
+    logit_lr = _mlp_chain([xap], fw.lr_w, fw.lr_b, fw.spec_lr, dt)
+    pred_lr = jax.nn.sigmoid(logit_lr[:, :1])
+    pred_cond = pred_lr * mask_a.astype(jnp.float32)[:, None]
+    pred_pad = jnp.pad(pred_cond, ((0, 0), (0, 127)))
+    logit_hr = _mlp_chain([xbp, pred_pad], fw.hr_w, fw.hr_b, fw.spec_hr,
+                          dt)
+    pred_hr = jax.nn.sigmoid(logit_hr[:, :1])
+    return pred_hr[:, 0], pred_lr[:, 0]
+
+
+def make_fused_dual_mlp_train_ad(block_n: int = 512,
+                                 interpret: bool = False,
+                                 use_pallas: bool = True):
+    """custom_vjp train op: Pallas forward, XLA-recompute backward.
+
+    The forward runs the VMEM-resident kernel; the backward re-derives
+    gradients through the numerically identical XLA twin (activations
+    are cheap to recompute at training's ~6k-sample chunks, and the
+    padded-weight layout makes both paths bit-comparable). Gradients
+    flow to the inputs AND the FusedWeights leaves — prepare the
+    weights from Flax params inside the jit so grads reach the params.
+    The mask operand is non-differentiated (zero cotangent).
+    """
+    @jax.custom_vjp
+    def op(xa, xb, mask_a, fw):
+        if use_pallas:
+            return fused_dual_mlp_train(xa, xb, mask_a, fw,
+                                        block_n=block_n,
+                                        interpret=interpret)
+        return fused_dual_mlp_train_xla(xa, xb, mask_a, fw)
+
+    def op_fwd(xa, xb, mask_a, fw):
+        return op(xa, xb, mask_a, fw), (xa, xb, mask_a, fw)
+
+    def op_bwd(res, g):
+        xa, xb, mask_a, fw = res
+        _, vjp = jax.vjp(
+            lambda xa, xb, fw: fused_dual_mlp_train_xla(xa, xb, mask_a,
+                                                        fw),
+            xa, xb, fw)
+        dxa, dxb, dfw = vjp(g)
+        return dxa, dxb, jnp.zeros_like(mask_a), dfw
+
+    op.defvjp(op_fwd, op_bwd)
+    return op
+
+
+def fused_dual_mlp_xla(x, fw: FusedWeights
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pure-XLA evaluation with the same padded weights (CPU fallback /
-    differentiable path). Numerically identical to the kernel."""
-    N, C = x.shape
-    P0 = _round128(C)
-    xp = jnp.pad(x, ((0, 0), (0, P0 - C)))
+    differentiable path). Numerically identical to the kernel. ``x`` may
+    be a single [N, C_in] array or per-segment arrays (see
+    :func:`fused_dual_mlp`)."""
+    parts = list(x) if isinstance(x, (list, tuple)) else [x]
+    segs = fw.spec_lr.base_segments
+    assert len(parts) == len(segs), (len(parts), segs)
+    xps = [jnp.pad(p, ((0, 0), (0, _round128(real) - real)))
+           for p, real in zip(parts, segs)]
     compute_dtype = fw.lr_w[0].dtype
-    logit_lr = _mlp_chain([xp], fw.lr_w, fw.lr_b, fw.spec_lr, compute_dtype)
+    logit_lr = _mlp_chain(xps, fw.lr_w, fw.lr_b, fw.spec_lr, compute_dtype)
     pred_lr = jax.nn.sigmoid(logit_lr[:, :1])
     pred_pad = jnp.pad(pred_lr, ((0, 0), (0, 127)))
-    logit_hr = _mlp_chain([xp, pred_pad], fw.hr_w, fw.hr_b, fw.spec_hr,
+    logit_hr = _mlp_chain(xps + [pred_pad], fw.hr_w, fw.hr_b, fw.spec_hr,
                           compute_dtype)
     pred_hr = jax.nn.sigmoid(logit_hr[:, :1])
     return pred_hr[:, 0], pred_lr[:, 0]

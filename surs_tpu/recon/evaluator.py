@@ -165,11 +165,22 @@ def _sample_init(init_dirty, R: int, reso: int):
 
 
 def _expandf(x: jnp.ndarray, f: int) -> jnp.ndarray:
-    """[A,A,A] -> [fA,fA,fA] nearest (value at floor(p/f))."""
+    """[A,A,A] -> [fA,fA,fA] nearest (value at floor(p/f)).
+
+    Implemented as three static-index takes rather than a broadcast to
+    [A,f,A,f,A,f]: the TPU (8,128) tiled layout pads a minor dim of
+    f=2 up to 128, so if XLA materializes that broadcast at A=256 it is
+    a 64x-padded 32 GB allocation (the round-1 "512^3 compile
+    pathology"). Takes keep every intermediate's minor dim >= A.
+    """
+    if f == 1:
+        return x
     A = x.shape[0]
-    x = jnp.broadcast_to(x[:, None, :, None, :, None],
-                         (A, f, A, f, A, f))
-    return x.reshape(f * A, f * A, f * A)
+    idx = jnp.arange(f * A, dtype=jnp.int32) // f
+    x = jnp.take(x, idx, axis=0)
+    x = jnp.take(x, idx, axis=1)
+    x = jnp.take(x, idx, axis=2)
+    return x
 
 
 def _pad_cells(c: jnp.ndarray, L: int) -> jnp.ndarray:
@@ -234,13 +245,20 @@ def _prune_upsample(R: int, reso: int, threshold: float,
                  & e1[None, None, :])   # fine point coincides w/ coarse
 
     def expand_field(val, rf_field, fill, vmin, vmax):
-        vb = _expandf(val, f)       # value of the enclosing cell's base
-        nf = _expandf(_pad_cells(fill, L), f)
-        fv = _expandf(_pad_cells((vmax + vmin) * 0.5, L), f)
-        rf_old = _expandf(_pad_cells(rf_field[:n, :n, :n], L), f)
-        keep = rf_old | coarse_pt   # carries old-region or coarse value
-        val2 = jnp.where(nf, fv, jnp.where(keep, vb, 0.0))
-        rf2 = _expandf(_pad_cells(rf_field[:n, :n, :n] | fill, L), f)
+        # Select per COARSE point first, expand the two selected payloads
+        # once each (3 big expands per field instead of 5): the fine
+        # value is fv inside a freshly-filled cell, else the enclosing
+        # cell's base value where it must be kept (old filled region or
+        # a fine point coinciding with a coarse one), else 0.
+        fillp = _pad_cells(fill, L)
+        fvp = _pad_cells((vmax + vmin) * 0.5, L)
+        rf_old = _pad_cells(rf_field[:n, :n, :n], L)
+        v_on_coarse = jnp.where(fillp, fvp, val)
+        v_off_coarse = jnp.where(fillp, fvp,
+                                 jnp.where(rf_old, val, 0.0))
+        val2 = jnp.where(coarse_pt, _expandf(v_on_coarse, f),
+                         _expandf(v_off_coarse, f))
+        rf2 = _expandf(rf_old | fillp, f)
         return val2, rf2
 
     val2_hr, rfh2 = expand_field(val_hr, rfh, fill_hr, vmin_hr, vmax_hr)

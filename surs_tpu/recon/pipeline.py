@@ -49,7 +49,8 @@ class Reconstructor:
     def __init__(self, model: SuRSNet,
                  query_fn: Optional[Callable] = None,
                  octree_mode: str = "hostloop",
-                 feature_dtype=None, point_mesh=None):
+                 feature_dtype=None, point_mesh=None,
+                 feature_pack: bool = False):
         self.model = model
         self.query_fn = query_fn
         # 'hostloop': one compiled query program re-dispatched per chunk
@@ -59,6 +60,11 @@ class Reconstructor:
         # halves gather traffic in the query hot loop (~+30% qps);
         # bilinear weighting and the MLPs still run f32
         self.feature_dtype = feature_dtype
+        # pack_bilinear the (last-stack) feature maps once per subject so
+        # each query needs one contiguous quad gather per map; requires a
+        # query_fn built with make_fused_query_fn(packed=True) and
+        # base_split-prepared weights (ops/point_query.py)
+        self.feature_pack = feature_pack
         self._cache: Dict = {}
 
         def encode(params, images):
@@ -90,6 +96,23 @@ class Reconstructor:
         return self._encode(params, images)
 
     def _make_ctx(self, weights, feats_lr, feat_hr, calib):
+        if self.feature_pack:
+            # one jitted program: dtype cast + quad packing of the two
+            # maps the query actually samples (last lr stack + hr)
+            key = ("ctx-pack", feats_lr[-1].shape, feat_hr.shape)
+            if key not in self._cache:
+                from ..ops.grid_sample import pack_bilinear
+                fdt = self.feature_dtype
+
+                def prep(f_lr, f_hr):
+                    if fdt is not None:
+                        f_lr = f_lr.astype(fdt)
+                        f_hr = f_hr.astype(fdt)
+                    return pack_bilinear(f_lr), pack_bilinear(f_hr)
+                self._cache[key] = jax.jit(prep)
+            f_lr_q, f_hr_q = self._cache[key](feats_lr[-1], feat_hr)
+            return {"weights": weights, "feats_lr": [f_lr_q],
+                    "feat_hr": f_hr_q, "calib": jnp.asarray(calib)}
         if self.feature_dtype is not None:
             feats_lr = [f.astype(self.feature_dtype) for f in feats_lr]
             feat_hr = feat_hr.astype(self.feature_dtype)
@@ -152,9 +175,18 @@ class Reconstructor:
                     init_resolution: int = 64,
                     transform: Optional[np.ndarray] = None,
                     level: float = 0.5,
-                    silhouette: Optional[jnp.ndarray] = None):
-        """Full evaluation + host isosurface extraction.
+                    silhouette: Optional[jnp.ndarray] = None,
+                    mc_backend: str = "host",
+                    mc_caps: Optional[Dict] = None):
+        """Full evaluation + isosurface extraction.
 
+        ``mc_backend``: 'host' ships the occupancy volume to the host
+        extractor (reference behavior, lib/mesh_util.py:36-46);
+        'device' runs marching tetrahedra on the accelerator
+        (recon/tetra_device.py) so only the packed mesh crosses the
+        wire — at 512^3 this replaces two 536 MB field transfers plus
+        seconds of host work; 'auto' tries device and falls back to
+        host on capacity overflow (noise-like fields).
         Returns (verts_hr, faces_hr, verts_lr, faces_lr), world coords.
         """
         sdf_hr, sdf_lr, mat = self.evaluate(
@@ -163,7 +195,18 @@ class Reconstructor:
             silhouette=silhouette)
 
         def extract(sdf):
-            verts, faces = extract_isosurface(np.asarray(sdf), level)
+            if mc_backend in ("device", "auto"):
+                from .tetra_device import marching_tetrahedra_device
+                try:
+                    verts, faces = marching_tetrahedra_device(
+                        sdf, level, **(mc_caps or {}))
+                except ValueError:
+                    if mc_backend == "device":
+                        raise
+                    verts, faces = extract_isosurface(np.asarray(sdf),
+                                                      level)
+            else:
+                verts, faces = extract_isosurface(np.asarray(sdf), level)
             verts = verts @ mat[:3, :3].T + mat[:3, 3]
             return verts.astype(np.float32), faces
 
@@ -188,7 +231,8 @@ class Reconstructor:
             data["b_min"], data["b_max"], use_octree=use_octree,
             num_samples=cfg.num_samples, threshold=cfg.threshold,
             init_resolution=cfg.octree_init_resolution,
-            silhouette=silhouette)
+            silhouette=silhouette,
+            mc_backend=getattr(cfg, "mc_backend", "host"))
         path_hr = save_path[:-4] + "_HR.obj"
         path_lr = save_path[:-4] + "_LR.obj"
         save_obj_mesh(path_hr, verts_hr, faces_hr)
@@ -205,12 +249,13 @@ class Reconstructor:
 _RECON_CACHE: Dict = {}
 
 
-def _get_reconstructor(model: SuRSNet, query_fn,
-                       feature_dtype=None) -> Reconstructor:
-    key = (model, query_fn, str(feature_dtype))
+def _get_reconstructor(model: SuRSNet, query_fn, feature_dtype=None,
+                       feature_pack: bool = False) -> Reconstructor:
+    key = (model, query_fn, str(feature_dtype), feature_pack)
     if key not in _RECON_CACHE:
         _RECON_CACHE[key] = Reconstructor(model, query_fn,
-                                          feature_dtype=feature_dtype)
+                                          feature_dtype=feature_dtype,
+                                          feature_pack=feature_pack)
     return _RECON_CACHE[key]
 
 
@@ -235,7 +280,12 @@ def gen_mesh(cfg, model: SuRSNet, params, data: dict, save_path: str,
     """Reference-shaped one-shot API; prefer Reconstructor for loops."""
     fdt = jnp.bfloat16 \
         if getattr(cfg, "feature_dtype", "float32") == "bfloat16" else None
-    rec = _get_reconstructor(model, query_fn, feature_dtype=fdt)
+    # feature_pack requires a query_fn built with packed=True and
+    # base_split-prepared weights (apps/eval_surs.py wires all three)
+    rec = _get_reconstructor(
+        model, query_fn, feature_dtype=fdt,
+        feature_pack=bool(getattr(cfg, "feature_pack", False)
+                          and query_fn is not None))
     weights = query_weights if query_weights is not None else params
     return rec.gen_mesh(cfg, params, weights, data, save_path, use_octree)
 

@@ -1,0 +1,326 @@
+"""Device-resident marching tetrahedra (JAX/TPU).
+
+The reference extracts meshes on the host with skimage marching cubes
+(lib/mesh_util.py:40,45) after shipping the full occupancy volume off
+the GPU. At the 512^3 operating point that is two 536 MB device->host
+transfers plus seconds of single-core host work per mesh — the largest
+remaining cost of the reconstruction pipeline once field evaluation is
+fast. This module runs the same marching-tetrahedra algorithm as
+``tetra.py`` (identical tables, identical output mesh) entirely on
+device; only the final packed vertex/face buffers cross to the host.
+
+TPU design notes:
+
+  * Active cells are found with shifted-slice min/max reductions and
+    compacted with one cumsum+scatter pass — no host loop.
+  * Vertex welding needs NO sort: every tet edge of the 6-tetrahedra
+    decomposition runs between cell corners ``emin -> emin + delta``
+    with ``delta`` componentwise in {0,1}; its canonical id is
+    ``(owner cell, slot)`` where the owner is the active cell based at
+    ``clip(emin, dims-2)`` (always active: it contains both straddling
+    corners) and ``slot`` indexes the 19 possible ``(emin - owner,
+    delta)`` pairs — exactly the cell's 19 decomposition edges. A
+    ``rank * 19`` scatter table replaces the host's np.unique.
+  * Everything is 1-D component-wise: a device array shaped [N, 3]
+    takes the (8, 128) tiled layout, padding the minor dim 3 -> 128 —
+    a 42x memory blowup that at 512^3 is a 20 GB allocation. So
+    coordinates, triangle vertex ids and vertex positions each live in
+    separate x/y/z (or v0/v1/v2) 1-D buffers, stacked on the host.
+  * Static shapes throughout: capacities are compile-time parameters
+    and overflow is detected on the host from the returned counts.
+
+Tables are imported from ``tetra.py`` so both backends cannot drift.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .tetra import _CORNER_OFFSETS, _TETS, _TET_EDGES, _CASE_TRIS
+
+# ---- static tables ------------------------------------------------------
+
+# The 19 canonical edge slots: (off, delta) with delta in {0,1}^3 \ {0},
+# off in {0,1}^3, off . delta == 0 (off=1 only on axes the edge does not
+# traverse — boundary-clipped owners).
+_SLOTS = []
+for _dx in range(2):
+    for _dy in range(2):
+        for _dz in range(2):
+            d = (_dx, _dy, _dz)
+            if d == (0, 0, 0):
+                continue
+            for _ox in range(2 - _dx):
+                for _oy in range(2 - _dy):
+                    for _oz in range(2 - _dz):
+                        _SLOTS.append(((_ox, _oy, _oz), d))
+assert len(_SLOTS) == 19
+N_SLOTS = 19
+
+_SLOT_LUT = -np.ones(64, np.int32)
+for _i, ((_ox, _oy, _oz), (_dx, _dy, _dz)) in enumerate(_SLOTS):
+    _SLOT_LUT[(_ox + 2 * _oy + 4 * _oz) + 8 * (_dx + 2 * _dy + 4 * _dz)] = _i
+_SLOT_OFF = np.array([s[0] for s in _SLOTS], np.int32)     # [19, 3]
+_SLOT_DELTA = np.array([s[1] for s in _SLOTS], np.int32)   # [19, 3]
+
+# Per (tet, slot, vertex): local corner pair (a, b) indexed by case.
+# _VTX_A[t, s, v][case] = local corner id a (0 where the case emits no
+# triangle in that slot — masked by _TRI_VALID).
+_VTX_A = np.zeros((6, 2, 3, 16), np.int32)
+_VTX_B = np.zeros((6, 2, 3, 16), np.int32)
+_TRI_VALID = np.zeros((6, 2, 16), bool)
+for _t, _tet in enumerate(_TETS):
+    for _case in range(16):
+        for _s in range(2):
+            tri = _CASE_TRIS[_case, _s]
+            if tri[0] < 0:
+                continue
+            _TRI_VALID[_t, _s, _case] = True
+            for _v in range(3):
+                a_loc, b_loc = _TET_EDGES[tri[_v]]
+                _VTX_A[_t, _s, _v, _case] = _tet[a_loc]
+                _VTX_B[_t, _s, _v, _case] = _tet[b_loc]
+
+_OFFX = _CORNER_OFFSETS[:, 0].astype(np.int32)
+_OFFY = _CORNER_OFFSETS[:, 1].astype(np.int32)
+_OFFZ = _CORNER_OFFSETS[:, 2].astype(np.int32)
+
+
+# ---- kernel -------------------------------------------------------------
+
+def _cells_active(vol: jnp.ndarray, level) -> jnp.ndarray:
+    """[X,Y,Z] bool lattice: True at base corners of straddling cells."""
+    X, Y, Z = vol.shape
+    cmin = vol[:-1, :-1, :-1]
+    cmax = vol[:-1, :-1, :-1]
+    for dx, dy, dz in _CORNER_OFFSETS[1:]:
+        blk = vol[dx:X - 1 + dx, dy:Y - 1 + dy, dz:Z - 1 + dz]
+        cmin = jnp.minimum(cmin, blk)
+        cmax = jnp.maximum(cmax, blk)
+    act = (cmin <= level) & (cmax > level)
+    return jnp.pad(act, ((0, 1),) * 3)
+
+
+def _compact_capped(flags_flat: jnp.ndarray, cap: int):
+    """Ordered indices of set flags into a [cap+1] buffer (+count)."""
+    n = jnp.sum(flags_flat.astype(jnp.int32))
+    pos = jnp.cumsum(flags_flat.astype(jnp.int32)) - 1
+    tgt = jnp.where(flags_flat & (pos < cap), pos, cap)
+    out = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(
+        jnp.arange(flags_flat.shape[0], dtype=jnp.int32), mode="drop")
+    return out, n
+
+
+def _emit_cells(vol_flat, cell_gids, cell_valid, rank_lat, level,
+                dims: Tuple[int, int, int]):
+    """Per-chunk triangle emission, fully 1-D.
+
+    cell_gids [K] flat base-corner ids (garbage where ~cell_valid).
+    Returns (vid0, vid1, vid2, t0, t1, t2 — each [12K] — and valid
+    [12K]), ordered tet-major then cell.
+    """
+    X, Y, Z = dims
+    K = cell_gids.shape[0]
+    bz = cell_gids % Z
+    by = (cell_gids // Z) % Y
+    bx = cell_gids // (Y * Z)
+
+    offx = jnp.asarray(_OFFX)
+    offy = jnp.asarray(_OFFY)
+    offz = jnp.asarray(_OFFZ)
+    # corner values [K, 8] (minor dim 8 -> one padded tile; acceptable)
+    cgx = bx[:, None] + offx[None, :]
+    cgy = by[:, None] + offy[None, :]
+    cgz = bz[:, None] + offz[None, :]
+    gid8 = (cgx * Y + cgy) * Z + cgz
+    val8 = vol_flat[gid8]                                  # [K, 8]
+    val8f = val8.reshape(-1)                               # [8K]
+    in8 = (val8 > level).astype(jnp.int32)
+
+    lut = jnp.asarray(_SLOT_LUT)
+    cell8 = jnp.arange(K, dtype=jnp.int32) * 8
+    vids, ts, valids = [[], [], []], [[], [], []], []
+    for t_i in range(6):
+        tet = _TETS[t_i]
+        case = (in8[:, tet[0]] + 2 * in8[:, tet[1]]
+                + 4 * in8[:, tet[2]] + 8 * in8[:, tet[3]])  # [K]
+        for s_i in range(2):
+            valids.append(jnp.asarray(_TRI_VALID[t_i, s_i])[case]
+                          & cell_valid)
+            for v_i in range(3):
+                ca = jnp.asarray(_VTX_A[t_i, s_i, v_i])[case]   # [K]
+                cb = jnp.asarray(_VTX_B[t_i, s_i, v_i])[case]
+                va = val8f[cell8 + ca]
+                vb = val8f[cell8 + cb]
+                cax = bx + offx[ca]
+                cay = by + offy[ca]
+                caz = bz + offz[ca]
+                cbx = bx + offx[cb]
+                cby = by + offy[cb]
+                cbz = bz + offz[cb]
+                emx = jnp.minimum(cax, cbx)
+                emy = jnp.minimum(cay, cby)
+                emz = jnp.minimum(caz, cbz)
+                dx = jnp.maximum(cax, cbx) - emx           # {0, 1}
+                dy = jnp.maximum(cay, cby) - emy
+                dz = jnp.maximum(caz, cbz) - emz
+                lo_is_a = ((cax == emx) & (cay == emy) & (caz == emz))
+                v_lo = jnp.where(lo_is_a, va, vb)
+                v_hi = jnp.where(lo_is_a, vb, va)
+                denom = v_hi - v_lo
+                denom = jnp.where(jnp.abs(denom) < 1e-12,
+                                  jnp.float32(1e-12), denom)
+                t = jnp.clip((level - v_lo) / denom, 0.0, 1.0)
+                owx = jnp.minimum(emx, X - 2)
+                owy = jnp.minimum(emy, Y - 2)
+                owz = jnp.minimum(emz, Z - 2)
+                key = (((emx - owx) + 2 * (emy - owy) + 4 * (emz - owz))
+                       + 8 * (dx + 2 * dy + 4 * dz))
+                slot = lut[key]
+                ogid = (owx * Y + owy) * Z + owz
+                rank = rank_lat[ogid]
+                vids[v_i].append(rank * N_SLOTS + slot)
+                ts[v_i].append(t)
+    valid = jnp.concatenate(valids)                        # [12K]
+    out = [jnp.concatenate(vids[v]) for v in range(3)]
+    out += [jnp.concatenate(ts[v]) for v in range(3)]
+    return (*out, valid)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dims", "max_cells", "max_tris", "max_verts", "cell_chunk"))
+def _march_core(vol_flat, level, dims, max_cells: int, max_tris: int,
+                max_verts: int, cell_chunk: int):
+    X, Y, Z = dims
+    XYZ = X * Y * Z
+    level = jnp.float32(level)
+    vol3 = vol_flat.reshape(X, Y, Z)
+
+    act_lat = _cells_active(vol3, level).reshape(-1)
+    compact, n_cells = _compact_capped(act_lat, max_cells)
+
+    # rank lookup lattice: rank_lat[cell gid] = compact rank
+    m = jnp.arange(max_cells, dtype=jnp.int32)
+    tgt = jnp.where(m < jnp.minimum(n_cells, max_cells), compact[:-1], XYZ)
+    rank_lat = jnp.zeros((XYZ,), jnp.int32).at[tgt].set(m, mode="drop")
+
+    n_vid = max_cells * N_SLOTS
+    fbuf0 = tuple(jnp.zeros((max_tris + 1,), jnp.int32) for _ in range(3))
+    t_buf0 = jnp.zeros((n_vid + 1,), jnp.float32)
+    present0 = jnp.zeros((n_vid + 1,), bool)
+
+    na = jnp.minimum(n_cells, max_cells)
+    num_chunks = (na + cell_chunk - 1) // cell_chunk
+
+    def body(carry):
+        f0, f1, f2, t_buf, present, n_tris, c = carry
+        idx = c * cell_chunk + jnp.arange(cell_chunk, dtype=jnp.int32)
+        cell_valid = idx < na
+        gids = compact[jnp.minimum(idx, max_cells)]
+        v0, v1, v2, t0, t1, t2, valid = _emit_cells(
+            vol_flat, gids, cell_valid, rank_lat, level, dims)
+        # weld: record t/presence per canonical vertex id
+        for v, t in ((v0, t0), (v1, t1), (v2, t2)):
+            vtgt = jnp.where(valid, v, n_vid)
+            t_buf = t_buf.at[vtgt].set(t, mode="drop")
+            present = present.at[vtgt].set(True, mode="drop")
+        # compact this chunk's triangles into the global buffers
+        pos = n_tris + jnp.cumsum(valid.astype(jnp.int32)) - 1
+        ftgt = jnp.where(valid & (pos < max_tris), pos, max_tris)
+        f0 = f0.at[ftgt].set(v0, mode="drop")
+        f1 = f1.at[ftgt].set(v1, mode="drop")
+        f2 = f2.at[ftgt].set(v2, mode="drop")
+        n_tris = n_tris + jnp.sum(valid.astype(jnp.int32))
+        return f0, f1, f2, t_buf, present, n_tris, c + 1
+
+    f0, f1, f2, t_buf, present, n_tris, _ = lax.while_loop(
+        lambda ca: ca[6] < num_chunks, body,
+        fbuf0 + (t_buf0, present0, jnp.int32(0), jnp.int32(0)))
+
+    # ---- vertex compaction: canonical id -> packed index ----
+    present = present[:n_vid]
+    n_verts = jnp.sum(present.astype(jnp.int32))
+    vpos = jnp.cumsum(present.astype(jnp.int32)) - 1
+    remap = jnp.where(present, vpos, -1)
+
+    # decode every slot's position: lo + t * delta in grid coords
+    rank_all = jnp.arange(n_vid, dtype=jnp.int32) // N_SLOTS
+    slot_all = jnp.arange(n_vid, dtype=jnp.int32) % N_SLOTS
+    gid_all = compact[jnp.minimum(rank_all, max_cells)]
+    bz = gid_all % Z
+    by = (gid_all // Z) % Y
+    bx = gid_all // (Y * Z)
+    tq = t_buf[:n_vid]
+    vtgt = jnp.where(present & (vpos < max_verts), vpos, max_verts)
+    verts_out = []
+    for base, off_c, d_c in ((bx, _SLOT_OFF[:, 0], _SLOT_DELTA[:, 0]),
+                             (by, _SLOT_OFF[:, 1], _SLOT_DELTA[:, 1]),
+                             (bz, _SLOT_OFF[:, 2], _SLOT_DELTA[:, 2])):
+        lo = base + jnp.asarray(off_c)[slot_all]
+        pos_c = lo.astype(jnp.float32) \
+            + tq * jnp.asarray(d_c)[slot_all].astype(jnp.float32)
+        verts_out.append(jnp.zeros((max_verts + 1,), jnp.float32)
+                         .at[vtgt].set(pos_c, mode="drop")[:max_verts])
+
+    # ---- face remap + degenerate drop ----
+    nt = jnp.minimum(n_tris, max_tris)
+    g0 = remap[jnp.minimum(f0[:max_tris], n_vid - 1)]
+    g1 = remap[jnp.minimum(f1[:max_tris], n_vid - 1)]
+    g2 = remap[jnp.minimum(f2[:max_tris], n_vid - 1)]
+    tri_ok = ((jnp.arange(max_tris) < nt)
+              & (g0 != g1) & (g1 != g2) & (g0 != g2))
+    fpos = jnp.cumsum(tri_ok.astype(jnp.int32)) - 1
+    ftgt = jnp.where(tri_ok, fpos, max_tris)
+    faces_out = [jnp.zeros((max_tris + 1,), jnp.int32)
+                 .at[ftgt].set(g, mode="drop")[:max_tris]
+                 for g in (g0, g1, g2)]
+    n_faces = jnp.sum(tri_ok.astype(jnp.int32))
+
+    return (verts_out[0], verts_out[1], verts_out[2],
+            faces_out[0], faces_out[1], faces_out[2],
+            n_verts, n_faces, n_cells, n_tris)
+
+
+def _bucket(n: int, quantum: int = 1 << 16) -> int:
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+
+
+def marching_tetrahedra_device(volume, level: float = 0.5,
+                               max_cells: int = 1 << 21,
+                               max_tris: int = 6 << 20,
+                               max_verts: int = 4 << 20,
+                               cell_chunk: int = 1 << 16
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Device marching tetrahedra; same mesh as tetra.marching_tetrahedra.
+
+    volume: [X, Y, Z] float32 (device or host array). Returns host
+    (verts [V, 3] f32 grid coords, faces [F, 3] i64). Raises if any
+    static capacity overflows (increase the caps or use the host
+    backend — random/noise fields activate nearly every cell).
+    """
+    vol = jnp.asarray(volume, jnp.float32)
+    X, Y, Z = vol.shape
+    out = _march_core(vol.reshape(-1), float(level), (X, Y, Z),
+                      max_cells, max_tris, max_verts, cell_chunk)
+    vx, vy, vz, f0, f1, f2, n_verts, n_faces, n_cells, n_tris = out
+    nv, nf, nc, nt = map(int, jax.device_get(
+        (n_verts, n_faces, n_cells, n_tris)))
+    if nc > max_cells or nt > max_tris or nv > max_verts:
+        raise ValueError(
+            f"marching_tetrahedra_device capacity exceeded: cells "
+            f"{nc}/{max_cells}, tris {nt}/{max_tris}, verts "
+            f"{nv}/{max_verts}")
+    # fetch in coarse buckets so the slice programs are reused
+    bv = min(_bucket(nv), max_verts)
+    bf = min(_bucket(nf), max_tris)
+    verts = np.stack([np.asarray(jax.device_get(v[:bv]))[:nv]
+                      for v in (vx, vy, vz)], axis=1)
+    faces = np.stack([np.asarray(jax.device_get(f[:bf]))[:nf]
+                      for f in (f0, f1, f2)], axis=1)
+    return verts, faces.astype(np.int64)

@@ -99,3 +99,66 @@ def test_split_concat_variant_matches(mlps, rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(sp_lr), np.asarray(base_lr),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_segmented_input_matches_single(mlps, rng):
+    """base_split-prepared weights + per-segment inputs == monolithic
+    input path (the packed-gather inference layout; no [N, C_in] concat
+    ever materializes)."""
+    _, _, p_lr, p_hr = mlps
+    fw1 = prepare_fused_weights(p_lr, p_hr, DIMS_LR, DIMS_HR)
+    fw2 = prepare_fused_weights(p_lr, p_hr, DIMS_LR, DIMS_HR,
+                                base_split=(256, 65))
+    x = jnp.asarray(rng.standard_normal((256, 321)).astype(np.float32))
+    parts = [x[:, :256], x[:, 256:]]
+    ref_hr, ref_lr = fused_dual_mlp_xla(x, fw1)
+    got_hr, got_lr = fused_dual_mlp_xla(parts, fw2)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=1e-5, atol=1e-6)
+    # exact kernel program (interpret mode), both concat modes
+    for sc in (False, True):
+        k_hr, k_lr = fused_dual_mlp(parts, fw2, block_n=256,
+                                    interpret=True, split_concat=sc)
+        np.testing.assert_allclose(np.asarray(k_hr), np.asarray(ref_hr),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(k_lr), np.asarray(ref_lr),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_fused_query_packed_matches_model(rng):
+    """Packed-gather query path == SuRSNet.query end to end."""
+    net = SuRSNet(load_size=32, num_stack_lr=2)
+    S, N = 16, 50
+    img = jnp.asarray(rng.standard_normal((1, S, S, 3)).astype(np.float32))
+    img_hr = jnp.asarray(
+        rng.standard_normal((1, 2 * S, 2 * S, 3)).astype(np.float32))
+    pts0 = jnp.asarray((rng.random((1, 3, 4)) - 0.5).astype(np.float32))
+    calib0 = jnp.asarray(np.diag([2.0, -2.0, 2.0, 1.0]).astype(
+        np.float32))[None]
+    params = net.init(jax.random.PRNGKey(0), img, img_hr, pts0, pts0,
+                      calib0, train=True)["params"]
+    _, feats_lr, feat_hr = net.apply({"params": params}, img, train=False,
+                                     method=SuRSNet.encode)
+    # points both inside and outside the image
+    pts = jnp.asarray((rng.random((1, 3, N)) - 0.5).astype(np.float32) * 1.6)
+    calib = jnp.asarray(np.diag([2.0, -2.0, 2.0, 1.0]).astype(
+        np.float32))[None]
+    ref_hr, ref_lr = net.apply({"params": params}, feats_lr, feat_hr, pts,
+                               calib, method=SuRSNet.query)
+
+    C_lr = feats_lr[-1].shape[-1]
+    C_hr = feat_hr.shape[-1]
+    fw = prepare_fused_weights(params["mlp_lr"], params["mlp_hr"],
+                               DIMS_LR, DIMS_HR,
+                               base_split=(C_lr, C_hr + 1))
+    from surs_tpu.ops.grid_sample import pack_bilinear
+    qf = make_fused_query_fn(load_size=32, z_size=200.0,
+                             use_pallas=False, packed=True)
+    got_hr, got_lr = qf(fw, [pack_bilinear(feats_lr[-1])],
+                        pack_bilinear(feat_hr), pts, calib)
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
+                               rtol=1e-5, atol=1e-6)

@@ -148,3 +148,34 @@ def test_bicubic_identity_when_same_size(rng):
     x = jnp.asarray(rng.standard_normal((1, 9, 9, 2)).astype(np.float32))
     out = ops.bicubic_resize_2d(x, 9, 9, align_corners=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-5)
+
+
+@pytest.mark.parametrize("H,W,N", [(16, 16, 64), (33, 17, 101)])
+def test_packed_grid_sample_matches_unpacked(rng, H, W, N):
+    """pack_bilinear + single-gather sampling == 4-tap sampling,
+    including out-of-range uv (zero padding) and far-out points."""
+    B, C = 2, 5
+    feat = jnp.asarray(rng.standard_normal((B, H, W, C)).astype(np.float32))
+    uv = jnp.asarray((rng.random((B, N, 2)).astype(np.float32) * 2.6 - 1.3))
+    # append extreme points (whole quad out of range both sides)
+    far = jnp.asarray(np.array([[[-9.0, 0.1], [9.0, 0.2], [0.3, -9.0],
+                                 [0.0, 9.0]]], np.float32))
+    uv = jnp.concatenate([uv, jnp.tile(far, (B, 1, 1))], axis=1)
+    ref = np.asarray(ops.grid_sample_points(feat, uv))
+    feat_q = ops.pack_bilinear(feat)
+    assert feat_q.shape == (B, H + 1, W + 1, 4 * C)
+    out = np.asarray(ops.grid_sample_points_packed(feat_q, uv))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_packed_grid_sample_exact_corners(rng):
+    """Samples exactly on pixel centers return the pixel values."""
+    H = W = 8
+    feat = jnp.asarray(rng.standard_normal((1, H, W, 3)).astype(np.float32))
+    ys, xs = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    uv = np.stack([xs.ravel() / (W - 1) * 2 - 1,
+                   ys.ravel() / (H - 1) * 2 - 1], -1)[None].astype(np.float32)
+    out = np.asarray(ops.grid_sample_points_packed(
+        ops.pack_bilinear(feat), jnp.asarray(uv)))
+    ref = np.asarray(feat).reshape(1, H * W, 3)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
