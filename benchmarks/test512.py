@@ -60,21 +60,18 @@ t2 = time.time()-t0
 print(f"mode={MODE} chunk={CHUNK} pack={PACK}: first {t1:.1f}s, "
       f"steady {t2:.2f}s, stats {stats}", flush=True)
 
-# device marching tetrahedra on a realistic 512^3 surface volume
+# device marching tetrahedra on a representative 512^3 human volume
 from surs_tpu.recon.tetra_device import marching_tetrahedra_device
-R = 512
-ii = np.linspace(-1, 1, R, dtype=np.float32)
-d = np.sqrt(ii[:,None,None]**2 + ii[None,:,None]**2 + ii[None,None,:]**2)
-sphere = jnp.asarray((0.5 + (0.7 - d)).astype(np.float32))
-sphere = jax.device_put(sphere)
-float(jnp.sum(sphere[:2, :2, :2]))
+from surs_tpu.utils.synth import humanoid_volume
+hvol = humanoid_volume(512)
+float(jnp.sum(hvol[:2, :2, :2]))
 t0 = time.time()
-v, f = marching_tetrahedra_device(sphere, 0.5)
+v, f = marching_tetrahedra_device(hvol, 0.5)
 t1 = time.time()-t0
-sphere2 = sphere * 1.001
-float(jnp.sum(sphere2[:2, :2, :2]))
+hvol2 = hvol * 1.0001
+float(jnp.sum(hvol2[:2, :2, :2]))
 t0 = time.time()
-v, f = marching_tetrahedra_device(sphere2, 0.5)
+v, f = marching_tetrahedra_device(hvol2, 0.5)
 t2 = time.time()-t0
-print(f"device MC 512^3: first {t1:.1f}s, steady {t2:.2f}s, "
+print(f"device MC 512^3 humanoid: first {t1:.1f}s, steady {t2:.2f}s, "
       f"{v.shape[0]} verts {f.shape[0]} faces", flush=True)

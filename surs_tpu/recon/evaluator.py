@@ -283,6 +283,25 @@ def _sample_init_center(init_dirty, R: int, reso: int):
     return init_dirty[half::reso, half::reso, half::reso][:n, :n, :n]
 
 
+def _normalize_init(init_dirty, R: int, schedule):
+    """Per-level init masks: ({reso: [L^3] flat}, {reso: [n,n,n]}).
+
+    Accepts either the per-level dict produced by
+    :func:`silhouette_init_masks` (preferred: each level's mask is
+    computed AT that level's resolution — minor-axis strided sampling
+    of a full [R^3] mask costs hundreds of ms per level on TPU) or a
+    raw [R,R,R] array (legacy/tests), which is sampled eagerly here.
+    """
+    if init_dirty is None:
+        return None, None
+    if isinstance(init_dirty, dict):
+        return init_dirty["lat"], init_dirty["center"]
+    lat = {reso: _sample_init(init_dirty, R, reso) for reso in schedule}
+    center = {reso: _sample_init_center(init_dirty, R, reso)
+              for reso in schedule if reso > 1}
+    return lat, center
+
+
 def _level_schedule(R: int, init_resolution: int):
     """Reference reso halving schedule, validated for the level-local
     lattice representation: every stride must divide R and each next
@@ -397,8 +416,8 @@ def eval_grid_octree(eval_fn: EvalFn, resolution: int, mat: np.ndarray,
     state = _octree_state(R, init_resolution)
 
     schedule = _level_schedule(R, init_resolution)
+    init_lats, init_centers = _normalize_init(init_dirty, R, schedule)
     for reso in schedule:
-        init_lat = _sample_init(init_dirty, R, reso)
         lkey = base_key + ("level", reso)
         if lkey not in cache:
             def build(reso=reso, has_init=has_init):
@@ -410,7 +429,8 @@ def eval_grid_octree(eval_fn: EvalFn, resolution: int, mat: np.ndarray,
                 return f
             fn = build()
             cache[lkey] = jax.jit(fn) if jit else fn
-        state = cache[lkey](state, ctx, init_lat)
+        state = cache[lkey](state, ctx,
+                            init_lats[reso] if has_init else None)
         if reso <= 1:
             break
         pkey = base_key + ("prune", reso)
@@ -424,14 +444,16 @@ def eval_grid_octree(eval_fn: EvalFn, resolution: int, mat: np.ndarray,
                 return f
             fn = buildp()
             cache[pkey] = jax.jit(fn) if jit else fn
-        init_center = _sample_init_center(init_dirty, R, reso)
-        state = cache[pkey](state, init_lat, init_center)
+        state = cache[pkey](state,
+                            init_lats[reso] if has_init else None,
+                            init_centers[reso] if has_init else None)
     return state[0].reshape(R, R, R), state[1].reshape(R, R, R)
 
 
 def silhouette_dirty_mask(mask_img: jnp.ndarray, calib, resolution: int,
                           mat: np.ndarray, dilate: int = 3,
-                          chunk: int = 1 << 20) -> jnp.ndarray:
+                          chunk: int = 1 << 20,
+                          cache: Optional[Dict] = None) -> jnp.ndarray:
     """Visual-hull pre-pruning of the evaluation grid (VaxNeRF-style).
 
     Voxels whose center projects outside the (dilated) 2D silhouette are
@@ -450,33 +472,115 @@ def silhouette_dirty_mask(mask_img: jnp.ndarray, calib, resolution: int,
     mask = jnp.asarray(mask_img, jnp.float32)
     if mask.ndim == 2:
         mask = mask[..., None]
-    if dilate > 0:
-        pad = dilate
-        m4 = mask[None]
-        window = (1, 2 * pad + 1, 2 * pad + 1, 1)
-        m4 = jax.lax.reduce_window(m4, -jnp.inf, jax.lax.max, window,
-                                   (1, 1, 1, 1), "SAME")
-        mask = m4[0]
     mat = np.asarray(mat)
+    calib_np = np.asarray(calib)
 
-    def run(mask, calib):
+    # uv is AFFINE in the integer voxel index under orthographic
+    # projection, with a rank-<=2 Jacobian: J = calib[:2,:3] @ diag(mat).
+    # When a lattice axis is in the null space (always true for the
+    # production eval calibration diag(2,-2,2,1): the z column is zero)
+    # the hit field is constant along it — compute a 2-D hit map over
+    # the other two axes (O(R^2) samples) and broadcast, instead of
+    # projecting and gathering all R^3 voxel centers (~0.5 G element
+    # gathers at 512^3).
+    J = calib_np[0, :2, :3] @ np.diag(np.diag(mat[:3, :3]))
+    null_axes = np.where(np.abs(J).sum(axis=0) == 0.0)[0]
+    null_axis = int(null_axes[0]) if len(null_axes) else None
+
+    def dilated(mask):
+        if dilate > 0:
+            pad = dilate
+            m4 = mask[None]
+            window = (1, 2 * pad + 1, 2 * pad + 1, 1)
+            m4 = jax.lax.reduce_window(m4, -jnp.inf, jax.lax.max, window,
+                                       (1, 1, 1, 1), "SAME")
+            mask = m4[0]
+        return mask
+
+    def run_2d(mask, calib):
+        mask = dilated(mask)
+        axes = [a for a in range(3) if a != null_axis]
+        ii = jnp.arange(R, dtype=jnp.float32)
+        g0 = jnp.repeat(ii, R)      # first non-null axis index
+        g1 = jnp.tile(ii, R)        # second non-null axis index
+        coords = [jnp.zeros_like(g0)] * 3
+        coords[axes[0]] = g0
+        coords[axes[1]] = g1
+        pts = (jnp.stack(coords)
+               * jnp.asarray(np.diag(mat[:3, :3]), jnp.float32)[:, None]
+               + jnp.asarray(mat[:3, 3], jnp.float32)[:, None])
+        xyz = orthogonal(pts[None], calib)
+        uv = jnp.swapaxes(xyz[:, :2, :], 1, 2)
+        hit2 = grid_sample_points(mask[None], uv)[0, :, 0] > 0.0
+        shape = [1, 1, 1]
+        shape[axes[0]] = R
+        shape[axes[1]] = R
+        return jnp.broadcast_to(hit2.reshape(shape), (R, R, R))
+
+    def run_3d(mask, calib):
+        mask = dilated(mask)
         R3 = R * R * R
-        n_chunks = (R3 + chunk - 1) // chunk
+        ch = min(chunk, R3)
+        n_chunks = (R3 + ch - 1) // ch
 
         def body(c, dirty_flat):
-            idx = c * chunk + jnp.arange(chunk, dtype=jnp.int32)
-            idx_c = jnp.minimum(idx, R3 - 1)
-            pts = flat_index_to_world(idx_c, R, 1, mat)
+            start = jnp.minimum(c * ch, R3 - ch)
+            idx = start + jnp.arange(ch, dtype=jnp.int32)
+            pts = flat_index_to_world(idx, R, 1, mat)
             xyz = orthogonal(pts[None], calib)
             uv = jnp.swapaxes(xyz[:, :2, :], 1, 2)
             hit = grid_sample_points(mask[None], uv)[0, :, 0] > 0.0
-            return dirty_flat.at[idx_c].set(hit)
+            # contiguous chunk -> dynamic_update_slice, never a 134M
+            # -element scatter (element scatters run ~5 ns/update)
+            return lax.dynamic_update_slice(dirty_flat, hit, (start,))
 
         dirty = jax.lax.fori_loop(0, n_chunks, body,
                                   jnp.zeros((R3,), bool))
         return dirty.reshape(R, R, R)
 
-    return jax.jit(run)(mask, jnp.asarray(calib))
+    # one compiled program per (R, mask shape, bbox, dilate) — without a
+    # shared cache every evaluate() call would re-trace and re-dispatch
+    # a fresh jit (seconds per call through the remote-compile cache)
+    cache = cache if cache is not None else {}
+    key = ("sil", R, mask.shape, dilate, chunk, mat.tobytes(),
+           calib_np.tobytes(), null_axis)
+    if key not in cache:
+        cache[key] = jax.jit(run_2d if null_axis is not None else run_3d)
+    return cache[key](mask, jnp.asarray(calib))
+
+
+def silhouette_init_masks(mask_img, calib, resolution: int,
+                          mat: np.ndarray, init_resolution: int = 64,
+                          dilate: int = 3,
+                          cache: Optional[Dict] = None) -> Dict:
+    """Per-level visual-hull init masks for the octree evaluators.
+
+    Each level's mask is computed AT that level's lattice resolution by
+    scaling the index->world affine (positions coincide exactly with
+    the stride-reso samples of the full-resolution mask, so results are
+    identical to sampling a [R^3] mask — but the strided minor-axis
+    sampling that costs hundreds of ms per 512^3 level never happens,
+    and with the production orthographic calibration every mask is an
+    O(L^2) computation). Pass the returned dict as ``init_dirty``.
+    """
+    mat = np.asarray(mat)
+    lat: Dict = {}
+    center: Dict = {}
+    for reso in _level_schedule(resolution, init_resolution):
+        L = resolution // reso
+        mat_l = mat.copy()
+        mat_l[:3, :3] = mat[:3, :3] * reso
+        lat[reso] = silhouette_dirty_mask(
+            mask_img, calib, L, mat_l, dilate=dilate,
+            cache=cache).reshape(-1)
+        if reso > 1:
+            n = L - 1
+            mat_c = mat_l.copy()
+            mat_c[:3, 3] = mat_c[:3, 3] + np.diag(
+                mat[:3, :3]) * (reso // 2)
+            center[reso] = silhouette_dirty_mask(
+                mask_img, calib, n, mat_c, dilate=dilate, cache=cache)
+    return {"lat": lat, "center": center}
 
 
 def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
@@ -556,12 +660,16 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
                 val_hr_f, val_lr_f, compact, jnp.int32(c), na, Lj,
                 scale_arr, offset_arr, ctx)
 
+    import time as _time
     base = ("hl", R, C, float(threshold), mat.tobytes(), has_init)
     schedule = _level_schedule(R, init_resolution)
+    init_lats, init_centers = _normalize_init(init_dirty, R, schedule)
     for reso in schedule:
+        _t0 = _time.time()
         L = R // reso
         L3 = L * L * L
-        init_lat = _sample_init(init_dirty, R, reso)
+        _nb_dbg = 0
+        init_lat = init_lats[reso] if has_init else None
 
         if _two_level(L):
             # Hierarchical: block summary + first point-group in ONE
@@ -594,6 +702,7 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
             blk_compact, nb, compact, na0 = summary0(evald_f, rfh_f,
                                                      rfl_f, init_lat)
             nb_host, na_host = jax.device_get((nb, na0))
+            _nb_dbg = int(nb_host)
             dispatch_chunks(chunk_fn, compact, na0, int(na_host), L, reso)
             if nb_host > _GROUP_BLOCKS:
                 group_fn = get(base + ("group", reso), group_builder)
@@ -622,6 +731,9 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
             compact_fn = get(base + ("compact", reso), compact_builder)
             compact, na = compact_fn(evald_f, rfh_f, rfl_f, init_lat)
             dispatch_chunks(chunk_fn, compact, na, int(na), L, reso)
+        if stats_out is not None:
+            stats_out.setdefault("levels", []).append(
+                (reso, _nb_dbg, _time.time() - _t0))
         if reso <= 1:
             break
         pkey = base + ("prune", reso)
@@ -636,10 +748,9 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
                         init_center if has_init else None)
                 return f
             cache[pkey] = jax.jit(buildp())
-        init_center = _sample_init_center(init_dirty, R, reso)
         val_hr_f, val_lr_f, evald_f, rfh_f, rfl_f = cache[pkey](
             val_hr_f, val_lr_f, evald_f, rfh_f, rfl_f, init_lat,
-            init_center)
+            init_centers[reso] if has_init else None)
     return val_hr_f.reshape(R, R, R), val_lr_f.reshape(R, R, R)
 
 

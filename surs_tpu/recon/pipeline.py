@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..models.surs_net import SuRSNet
 from .grid import grid_matrix
 from .evaluator import (eval_grid_octree, eval_grid_octree_hostloop,
-                        eval_grid_dense, silhouette_dirty_mask)
+                        eval_grid_dense, silhouette_init_masks)
 from .marching import extract_isosurface
 from .mesh_io import save_obj_mesh
 
@@ -150,9 +150,10 @@ class Reconstructor:
         ctx = self._make_ctx(weights, feats_lr, feat_hr, calib)
         init_dirty = None
         if silhouette is not None:
-            init_dirty = silhouette_dirty_mask(
+            init_dirty = silhouette_init_masks(
                 silhouette, np.asarray(calib), resolution, mat,
-                dilate=silhouette_dilate)
+                init_resolution=init_resolution,
+                dilate=silhouette_dilate, cache=self._cache)
         if use_octree:
             octree = (eval_grid_octree_hostloop
                       if self.octree_mode == "hostloop"
@@ -194,25 +195,44 @@ class Reconstructor:
             use_octree, num_samples, threshold, init_resolution, transform,
             silhouette=silhouette)
 
-        def extract(sdf):
-            if mc_backend in ("device", "auto"):
-                from .tetra_device import marching_tetrahedra_device
-                try:
-                    verts, faces = marching_tetrahedra_device(
-                        sdf, level, **(mc_caps or {}))
-                except ValueError:
-                    if mc_backend == "device":
-                        raise
-                    verts, faces = extract_isosurface(np.asarray(sdf),
-                                                      level)
-            else:
-                verts, faces = extract_isosurface(np.asarray(sdf), level)
+        out = []
+        for verts, faces in self.extract_pair(sdf_hr, sdf_lr, mat, level,
+                                              mc_backend, mc_caps):
+            out += [verts, faces]
+        return tuple(out)
+
+    @staticmethod
+    def extract_pair(sdf_hr, sdf_lr, mat, level=0.5, mc_backend="host",
+                     mc_caps=None):
+        """Yield (verts, faces) for the HR then LR field, world coords.
+
+        Device backend: both extractions are STARTED before the first
+        is finished, so the LR mesh's device compute overlaps the HR
+        mesh's device->host transfer; and because this is a generator,
+        whatever the caller does between items (e.g. writing the HR
+        OBJ) overlaps the LR transfer.
+        """
+        mat = np.asarray(mat)
+
+        def to_world(verts, faces):
             verts = verts @ mat[:3, :3].T + mat[:3, 3]
             return verts.astype(np.float32), faces
 
-        verts_hr, faces_hr = extract(sdf_hr)
-        verts_lr, faces_lr = extract(sdf_lr)
-        return verts_hr, faces_hr, verts_lr, faces_lr
+        if mc_backend in ("device", "auto"):
+            from .tetra_device import marching_tetrahedra_device_begin
+            try:
+                fin_hr = marching_tetrahedra_device_begin(
+                    sdf_hr, level, **(mc_caps or {}))
+                fin_lr = marching_tetrahedra_device_begin(
+                    sdf_lr, level, **(mc_caps or {}))
+                yield to_world(*fin_hr())
+                yield to_world(*fin_lr())
+                return
+            except ValueError:
+                if mc_backend == "device":
+                    raise
+        yield to_world(*extract_isosurface(np.asarray(sdf_hr), level))
+        yield to_world(*extract_isosurface(np.asarray(sdf_lr), level))
 
     def gen_mesh(self, cfg, params, weights, data: dict, save_path: str,
                  use_octree: bool = True) -> Tuple[str, str]:
@@ -226,17 +246,20 @@ class Reconstructor:
         silhouette = None
         if getattr(cfg, "mask_prune", False) and "mask_LR" in data:
             silhouette = jnp.asarray(data["mask_LR"])
-        verts_hr, faces_hr, verts_lr, faces_lr = self.reconstruct(
+        sdf_hr, sdf_lr, mat = self.evaluate(
             weights, feats_lr, feat_hr, calib, cfg.resolution,
             data["b_min"], data["b_max"], use_octree=use_octree,
             num_samples=cfg.num_samples, threshold=cfg.threshold,
             init_resolution=cfg.octree_init_resolution,
-            silhouette=silhouette,
-            mc_backend=getattr(cfg, "mc_backend", "host"))
+            silhouette=silhouette)
         path_hr = save_path[:-4] + "_HR.obj"
         path_lr = save_path[:-4] + "_LR.obj"
-        save_obj_mesh(path_hr, verts_hr, faces_hr)
-        save_obj_mesh(path_lr, verts_lr, faces_lr)
+        paths = [path_hr, path_lr]
+        # streamed: the HR OBJ write overlaps the LR mesh's transfer
+        for path, (verts, faces) in zip(paths, self.extract_pair(
+                sdf_hr, sdf_lr, mat,
+                mc_backend=getattr(cfg, "mc_backend", "host"))):
+            save_obj_mesh(path, verts, faces)
         return path_hr, path_lr
 
 

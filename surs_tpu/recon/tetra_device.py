@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .tetra import _CORNER_OFFSETS, _TETS, _TET_EDGES, _CASE_TRIS
+from .evaluator import _block_summary, _group_compact, _GROUP_BLOCKS
 
 # ---- static tables ------------------------------------------------------
 
@@ -108,12 +109,41 @@ def _cells_active(vol: jnp.ndarray, level) -> jnp.ndarray:
 
 
 def _compact_capped(flags_flat: jnp.ndarray, cap: int):
-    """Ordered indices of set flags into a [cap+1] buffer (+count)."""
-    n = jnp.sum(flags_flat.astype(jnp.int32))
-    pos = jnp.cumsum(flags_flat.astype(jnp.int32)) - 1
-    tgt = jnp.where(flags_flat & (pos < cap), pos, cap)
-    out = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(
-        jnp.arange(flags_flat.shape[0], dtype=jnp.int32), mode="drop")
+    """Ordered indices of set flags into a [cap+1] buffer (+count).
+
+    TPU element scatters run ~5 ns/update, so the naive full-lattice
+    form (a 134M-update scatter at 512^3: measured 620 ms) is replaced
+    by the evaluator's hierarchical compaction: an `any` block reduce,
+    a block-id scatter over L^3/64 elements, then point scatters only
+    over the points of dirty blocks, group by group.
+    """
+    n_flat = flags_flat.shape[0]
+    L = round(n_flat ** (1 / 3))
+    if L ** 3 != n_flat or L % 4 != 0:
+        n = jnp.sum(flags_flat.astype(jnp.int32))
+        pos = jnp.cumsum(flags_flat.astype(jnp.int32)) - 1
+        tgt = jnp.where(flags_flat & (pos < cap), pos, cap)
+        out = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(
+            jnp.arange(n_flat, dtype=jnp.int32), mode="drop")
+        return out, n
+
+    blk_compact, nb = _block_summary(flags_flat, L, 4, _GROUP_BLOCKS)
+    out0 = jnp.zeros((cap + 1,), jnp.int32)
+    S = _GROUP_BLOCKS * 64
+
+    def body(carry):
+        out, n, g = carry
+        comp_g, na_g = _group_compact(flags_flat, blk_compact,
+                                      g * _GROUP_BLOCKS, nb, L, 4,
+                                      _GROUP_BLOCKS, S)
+        idx = jnp.arange(S, dtype=jnp.int32)
+        tgt = jnp.where((idx < na_g) & (n + idx < cap), n + idx, cap)
+        out = out.at[tgt].set(comp_g[:S], mode="drop")
+        return out, n + na_g, g + 1
+
+    out, n, _ = lax.while_loop(
+        lambda ca: ca[2] * _GROUP_BLOCKS < nb, body,
+        (out0, jnp.int32(0), jnp.int32(0)))
     return out, n
 
 
@@ -122,8 +152,11 @@ def _emit_cells(vol_flat, cell_gids, cell_valid, rank_lat, level,
     """Per-chunk triangle emission, fully 1-D.
 
     cell_gids [K] flat base-corner ids (garbage where ~cell_valid).
-    Returns (vid0, vid1, vid2, t0, t1, t2 — each [12K] — and valid
-    [12K]), ordered tet-major then cell.
+    Returns (vid0, vid1, vid2 — each [12K] — and valid [12K]), ordered
+    tet-major then cell. Only face VERTEX IDS are emitted: a canonical
+    edge carries a vertex iff its endpoints straddle the level, so
+    presence and the interpolation parameter are recomputed directly
+    from the volume in the finalize pass — no weld scatters here.
     """
     X, Y, Z = dims
     K = cell_gids.shape[0]
@@ -140,12 +173,10 @@ def _emit_cells(vol_flat, cell_gids, cell_valid, rank_lat, level,
     cgz = bz[:, None] + offz[None, :]
     gid8 = (cgx * Y + cgy) * Z + cgz
     val8 = vol_flat[gid8]                                  # [K, 8]
-    val8f = val8.reshape(-1)                               # [8K]
     in8 = (val8 > level).astype(jnp.int32)
 
     lut = jnp.asarray(_SLOT_LUT)
-    cell8 = jnp.arange(K, dtype=jnp.int32) * 8
-    vids, ts, valids = [[], [], []], [[], [], []], []
+    vids, valids = [[], [], []], []
     for t_i in range(6):
         tet = _TETS[t_i]
         case = (in8[:, tet[0]] + 2 * in8[:, tet[1]]
@@ -156,8 +187,6 @@ def _emit_cells(vol_flat, cell_gids, cell_valid, rank_lat, level,
             for v_i in range(3):
                 ca = jnp.asarray(_VTX_A[t_i, s_i, v_i])[case]   # [K]
                 cb = jnp.asarray(_VTX_B[t_i, s_i, v_i])[case]
-                va = val8f[cell8 + ca]
-                vb = val8f[cell8 + cb]
                 cax = bx + offx[ca]
                 cay = by + offy[ca]
                 caz = bz + offz[ca]
@@ -170,13 +199,6 @@ def _emit_cells(vol_flat, cell_gids, cell_valid, rank_lat, level,
                 dx = jnp.maximum(cax, cbx) - emx           # {0, 1}
                 dy = jnp.maximum(cay, cby) - emy
                 dz = jnp.maximum(caz, cbz) - emz
-                lo_is_a = ((cax == emx) & (cay == emy) & (caz == emz))
-                v_lo = jnp.where(lo_is_a, va, vb)
-                v_hi = jnp.where(lo_is_a, vb, va)
-                denom = v_hi - v_lo
-                denom = jnp.where(jnp.abs(denom) < 1e-12,
-                                  jnp.float32(1e-12), denom)
-                t = jnp.clip((level - v_lo) / denom, 0.0, 1.0)
                 owx = jnp.minimum(emx, X - 2)
                 owy = jnp.minimum(emy, Y - 2)
                 owz = jnp.minimum(emz, Z - 2)
@@ -186,10 +208,8 @@ def _emit_cells(vol_flat, cell_gids, cell_valid, rank_lat, level,
                 ogid = (owx * Y + owy) * Z + owz
                 rank = rank_lat[ogid]
                 vids[v_i].append(rank * N_SLOTS + slot)
-                ts[v_i].append(t)
     valid = jnp.concatenate(valids)                        # [12K]
     out = [jnp.concatenate(vids[v]) for v in range(3)]
-    out += [jnp.concatenate(ts[v]) for v in range(3)]
     return (*out, valid)
 
 
@@ -212,24 +232,17 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_tris: int,
 
     n_vid = max_cells * N_SLOTS
     fbuf0 = tuple(jnp.zeros((max_tris + 1,), jnp.int32) for _ in range(3))
-    t_buf0 = jnp.zeros((n_vid + 1,), jnp.float32)
-    present0 = jnp.zeros((n_vid + 1,), bool)
 
     na = jnp.minimum(n_cells, max_cells)
     num_chunks = (na + cell_chunk - 1) // cell_chunk
 
     def body(carry):
-        f0, f1, f2, t_buf, present, n_tris, c = carry
+        f0, f1, f2, n_tris, c = carry
         idx = c * cell_chunk + jnp.arange(cell_chunk, dtype=jnp.int32)
         cell_valid = idx < na
         gids = compact[jnp.minimum(idx, max_cells)]
-        v0, v1, v2, t0, t1, t2, valid = _emit_cells(
+        v0, v1, v2, valid = _emit_cells(
             vol_flat, gids, cell_valid, rank_lat, level, dims)
-        # weld: record t/presence per canonical vertex id
-        for v, t in ((v0, t0), (v1, t1), (v2, t2)):
-            vtgt = jnp.where(valid, v, n_vid)
-            t_buf = t_buf.at[vtgt].set(t, mode="drop")
-            present = present.at[vtgt].set(True, mode="drop")
         # compact this chunk's triangles into the global buffers
         pos = n_tris + jnp.cumsum(valid.astype(jnp.int32)) - 1
         ftgt = jnp.where(valid & (pos < max_tris), pos, max_tris)
@@ -237,38 +250,57 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_tris: int,
         f1 = f1.at[ftgt].set(v1, mode="drop")
         f2 = f2.at[ftgt].set(v2, mode="drop")
         n_tris = n_tris + jnp.sum(valid.astype(jnp.int32))
-        return f0, f1, f2, t_buf, present, n_tris, c + 1
+        return f0, f1, f2, n_tris, c + 1
 
-    f0, f1, f2, t_buf, present, n_tris, _ = lax.while_loop(
-        lambda ca: ca[6] < num_chunks, body,
-        fbuf0 + (t_buf0, present0, jnp.int32(0), jnp.int32(0)))
+    f0, f1, f2, n_tris, _ = lax.while_loop(
+        lambda ca: ca[4] < num_chunks, body,
+        fbuf0 + (jnp.int32(0), jnp.int32(0)))
 
-    # ---- vertex compaction: canonical id -> packed index ----
-    present = present[:n_vid]
-    n_verts = jnp.sum(present.astype(jnp.int32))
-    vpos = jnp.cumsum(present.astype(jnp.int32)) - 1
-    remap = jnp.where(present, vpos, -1)
-
-    # decode every slot's position: lo + t * delta in grid coords
+    # ---- vertex presence, weld index and position, derived DIRECTLY
+    # from the volume (no weld scatters): the canonical edge of
+    # (rank, slot) carries a vertex iff its endpoints straddle the
+    # level — exactly when some tetrahedron emits it ----
     rank_all = jnp.arange(n_vid, dtype=jnp.int32) // N_SLOTS
     slot_all = jnp.arange(n_vid, dtype=jnp.int32) % N_SLOTS
     gid_all = compact[jnp.minimum(rank_all, max_cells)]
     bz = gid_all % Z
     by = (gid_all // Z) % Y
     bx = gid_all // (Y * Z)
-    tq = t_buf[:n_vid]
-    vtgt = jnp.where(present & (vpos < max_verts), vpos, max_verts)
-    verts_out = []
-    for base, off_c, d_c in ((bx, _SLOT_OFF[:, 0], _SLOT_DELTA[:, 0]),
-                             (by, _SLOT_OFF[:, 1], _SLOT_DELTA[:, 1]),
-                             (bz, _SLOT_OFF[:, 2], _SLOT_DELTA[:, 2])):
-        lo = base + jnp.asarray(off_c)[slot_all]
-        pos_c = lo.astype(jnp.float32) \
-            + tq * jnp.asarray(d_c)[slot_all].astype(jnp.float32)
-        verts_out.append(jnp.zeros((max_verts + 1,), jnp.float32)
-                         .at[vtgt].set(pos_c, mode="drop")[:max_verts])
+    offq = [jnp.asarray(_SLOT_OFF[:, c])[slot_all] for c in range(3)]
+    dq = [jnp.asarray(_SLOT_DELTA[:, c])[slot_all] for c in range(3)]
+    lox = bx + offq[0]
+    loy = by + offq[1]
+    loz = bz + offq[2]
+    gid_lo = (lox * Y + loy) * Z + loz
+    gid_hi = ((lox + dq[0]) * Y + (loy + dq[1])) * Z + (loz + dq[2])
+    v_lo = vol_flat[gid_lo]
+    v_hi = vol_flat[gid_hi]
+    in_lo = v_lo > level
+    in_hi = v_hi > level
+    # a slot with off=1 on some axis is canonical ONLY for cells on the
+    # far boundary of that axis (owner = clip(emin, dims-2)); interior
+    # cells would duplicate the neighbor's off=0 slot otherwise
+    own_ok = (((offq[0] == 0) | (bx == X - 2))
+              & ((offq[1] == 0) | (by == Y - 2))
+              & ((offq[2] == 0) | (bz == Z - 2)))
+    present = (in_lo != in_hi) & own_ok & (rank_all < na)
+    denom = v_hi - v_lo
+    denom = jnp.where(jnp.abs(denom) < 1e-12, jnp.float32(1e-12), denom)
+    tq = jnp.clip((level - v_lo) / denom, 0.0, 1.0)
 
-    # ---- face remap + degenerate drop ----
+    n_verts = jnp.sum(present.astype(jnp.int32))
+    vpos = jnp.cumsum(present.astype(jnp.int32)) - 1
+    remap = jnp.where(present, vpos, -1)
+    vtgt = jnp.where(present & (vpos < max_verts), vpos, max_verts)
+    # compact wire format: (canonical vertex id, t) per packed vertex —
+    # 8 B/vertex instead of 12, decoded EXACTLY on the host (the f32
+    # position formula is replayed bit-identically from (vid, t))
+    vid_of = jnp.zeros((max_verts + 1,), jnp.int32).at[vtgt].set(
+        jnp.arange(n_vid, dtype=jnp.int32), mode="drop")[:max_verts]
+    t_of = jnp.zeros((max_verts + 1,), jnp.float32).at[vtgt].set(
+        tq, mode="drop")[:max_verts]
+
+    # ---- face remap + degenerate drop, bit-packed 3x21 -> 2 words ----
     nt = jnp.minimum(n_tris, max_tris)
     g0 = remap[jnp.minimum(f0[:max_tris], n_vid - 1)]
     g1 = remap[jnp.minimum(f1[:max_tris], n_vid - 1)]
@@ -277,13 +309,14 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_tris: int,
               & (g0 != g1) & (g1 != g2) & (g0 != g2))
     fpos = jnp.cumsum(tri_ok.astype(jnp.int32)) - 1
     ftgt = jnp.where(tri_ok, fpos, max_tris)
+    w0 = g0 | (g1 << 21)
+    w1 = (g1 >> 11) | (g2 << 10)
     faces_out = [jnp.zeros((max_tris + 1,), jnp.int32)
-                 .at[ftgt].set(g, mode="drop")[:max_tris]
-                 for g in (g0, g1, g2)]
+                 .at[ftgt].set(w, mode="drop")[:max_tris]
+                 for w in (w0, w1)]
     n_faces = jnp.sum(tri_ok.astype(jnp.int32))
 
-    return (verts_out[0], verts_out[1], verts_out[2],
-            faces_out[0], faces_out[1], faces_out[2],
+    return (vid_of, t_of, faces_out[0], faces_out[1], compact,
             n_verts, n_faces, n_cells, n_tris)
 
 
@@ -291,24 +324,51 @@ def _bucket(n: int, quantum: int = 1 << 16) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
-def marching_tetrahedra_device(volume, level: float = 0.5,
-                               max_cells: int = 1 << 21,
-                               max_tris: int = 6 << 20,
-                               max_verts: int = 4 << 20,
-                               cell_chunk: int = 1 << 16
-                               ) -> Tuple[np.ndarray, np.ndarray]:
-    """Device marching tetrahedra; same mesh as tetra.marching_tetrahedra.
+@functools.partial(jax.jit, static_argnames=("dims",))
+def _count_cells(vol_flat, level, dims):
+    X, Y, Z = dims
+    act = _cells_active(vol_flat.reshape(X, Y, Z), jnp.float32(level))
+    return jnp.sum(act.astype(jnp.int32))
 
-    volume: [X, Y, Z] float32 (device or host array). Returns host
-    (verts [V, 3] f32 grid coords, faces [F, 3] i64). Raises if any
-    static capacity overflows (increase the caps or use the host
-    backend — random/noise fields activate nearly every cell).
+
+def marching_tetrahedra_device_begin(volume, level: float = 0.5,
+                                     max_cells: int = 1 << 21,
+                                     max_tris: int = 6 << 20,
+                                     max_verts: int = 2 << 20,
+                                     cell_chunk: int = 1 << 16):
+    """Start a device extraction; returns ``finish() -> (verts, faces)``.
+
+    The device->host copies are started asynchronously, so the caller
+    can launch the NEXT extraction (or any other device work) while
+    this mesh streams back over the (slow) host link — the
+    reconstruction pipeline overlaps the LR mesh's compute with the HR
+    mesh's transfer this way. The wire format is 8 B/vertex
+    (canonical edge id + t, position replayed bit-exactly on the host)
+    and 8 B/face (3 x 21-bit indices in two words) — a third less
+    traffic than raw f32/i32 triples.
     """
+    if max_verts > (1 << 21):
+        raise ValueError("packed faces hold 21-bit vertex indices: "
+                         "max_verts must be <= 2^21")
     vol = jnp.asarray(volume, jnp.float32)
     X, Y, Z = vol.shape
+    nc0 = int(jax.device_get(_count_cells(vol.reshape(-1), float(level),
+                                          (X, Y, Z))))
+    if nc0 > max_cells:
+        raise ValueError(
+            f"marching_tetrahedra_device capacity exceeded: cells "
+            f"{nc0}/{max_cells}")
+    bucket = 1 << 12
+    while bucket < nc0:
+        bucket *= 2
+    max_cells = min(max_cells, bucket)
+    # a cell emits at most 12 triangles, so the face buffers can shrink
+    # to the cell bucket too (the finalize pass is linear in max_tris)
+    max_tris = min(max_tris, 12 * max_cells)
+    max_verts = min(max_verts, N_SLOTS * max_cells)
     out = _march_core(vol.reshape(-1), float(level), (X, Y, Z),
                       max_cells, max_tris, max_verts, cell_chunk)
-    vx, vy, vz, f0, f1, f2, n_verts, n_faces, n_cells, n_tris = out
+    vid_of, t_of, w0, w1, compact, n_verts, n_faces, n_cells, n_tris = out
     nv, nf, nc, nt = map(int, jax.device_get(
         (n_verts, n_faces, n_cells, n_tris)))
     if nc > max_cells or nt > max_tris or nv > max_verts:
@@ -319,8 +379,55 @@ def marching_tetrahedra_device(volume, level: float = 0.5,
     # fetch in coarse buckets so the slice programs are reused
     bv = min(_bucket(nv), max_verts)
     bf = min(_bucket(nf), max_tris)
-    verts = np.stack([np.asarray(jax.device_get(v[:bv]))[:nv]
-                      for v in (vx, vy, vz)], axis=1)
-    faces = np.stack([np.asarray(jax.device_get(f[:bf]))[:nf]
-                      for f in (f0, f1, f2)], axis=1)
-    return verts, faces.astype(np.int64)
+    bc = min(_bucket(nc), max_cells + 1)
+    slices = [vid_of[:bv], t_of[:bv], w0[:bf], w1[:bf], compact[:bc]]
+    for s in slices:
+        try:
+            s.copy_to_host_async()
+        except Exception:
+            pass  # backend without async copies: finish() fetches sync
+
+    def finish() -> Tuple[np.ndarray, np.ndarray]:
+        vid = np.asarray(jax.device_get(slices[0]))[:nv]
+        t = np.asarray(jax.device_get(slices[1]))[:nv]
+        w0h = np.asarray(jax.device_get(slices[2]))[:nf].view(np.uint32)
+        w1h = np.asarray(jax.device_get(slices[3]))[:nf].view(np.uint32)
+        comp = np.asarray(jax.device_get(slices[4]))
+        # decode vertices: replay lo + t * delta in f32 (bit-identical
+        # to the device formula)
+        rank = vid // N_SLOTS
+        slot = vid % N_SLOTS
+        gid = comp[rank]
+        base = np.stack([gid // (Y * Z), (gid // Z) % Y, gid % Z], 1)
+        lo = (base + _SLOT_OFF[slot]).astype(np.float32)
+        verts = lo + t[:, None].astype(np.float32) \
+            * _SLOT_DELTA[slot].astype(np.float32)
+        f0 = (w0h & 0x1FFFFF).astype(np.int64)
+        f1 = ((w0h >> 21) | ((w1h & 0x3FF) << 11)).astype(np.int64)
+        f2 = ((w1h >> 10) & 0x1FFFFF).astype(np.int64)
+        faces = np.stack([f0, f1, f2], axis=1)
+        return verts, faces
+
+    return finish
+
+
+def marching_tetrahedra_device(volume, level: float = 0.5,
+                               max_cells: int = 1 << 21,
+                               max_tris: int = 6 << 20,
+                               max_verts: int = 2 << 20,
+                               cell_chunk: int = 1 << 16
+                               ) -> Tuple[np.ndarray, np.ndarray]:
+    """Device marching tetrahedra; same mesh as tetra.marching_tetrahedra.
+
+    volume: [X, Y, Z] float32 (device or host array). Returns host
+    (verts [V, 3] f32 grid coords, faces [F, 3] i64). Raises if any
+    static capacity overflows (increase the caps or use the host
+    backend — random/noise fields activate nearly every cell).
+
+    The vertex-weld domain scales with max_cells, so the actual cell
+    count is measured first (one tiny program + scalar fetch) and the
+    core runs at the smallest power-of-two bucket that fits — the
+    finalize pass touches ~19 x cells slots, not 19 x the worst case.
+    """
+    return marching_tetrahedra_device_begin(
+        volume, level, max_cells, max_tris, max_verts, cell_chunk)()

@@ -391,3 +391,103 @@ def test_octree_stats_and_init_dirty_fused():
                                atol=1e-6)
     # pre-pruned half stays at the default 0 fill
     assert float(np.abs(np.asarray(hl_hr)[R // 2:]).max()) == 0.0
+
+
+def test_silhouette_mask_2d_and_3d_paths_agree():
+    """The O(R^2) broadcast path (null-axis orthographic calib) and the
+    generic chunked 3-D path must produce identical dirty masks."""
+    import jax.numpy as jnp
+    from surs_tpu.recon.evaluator import silhouette_dirty_mask
+    from surs_tpu.recon.grid import grid_matrix
+
+    R, S = 24, 16
+    rng = np.random.default_rng(5)
+    mask = (rng.random((S, S)) > 0.4).astype(np.float32)
+    mat = grid_matrix((R,) * 3, [-0.5] * 3, [0.5] * 3)
+    calib_fixed = np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32)[None]
+
+    cache = {}
+    d2 = np.asarray(silhouette_dirty_mask(jnp.asarray(mask), calib_fixed,
+                                          R, mat, dilate=1, cache=cache))
+    assert any(k[0] == "sil" for k in cache)
+
+    # rotate the calib so no lattice axis is in the uv null space ->
+    # generic path; compare on the SAME geometry by rotating 0 degrees
+    # is not possible, so instead verify the 3-D path against the fixed
+    # calib by defeating the null-axis detection with an epsilon-free
+    # equivalent: a calib with a tiny exact-zero-free rotation column
+    # would change geometry. Use the private runners via a calib whose
+    # null column is non-zero but maps outside the mask identically:
+    # simplest honest check — brute-force numpy oracle for BOTH paths.
+    def oracle(calib):
+        from surs_tpu.ops.geometry import orthogonal
+        from surs_tpu.ops.grid_sample import grid_sample_points
+        import jax
+        m = jnp.asarray(mask)[..., None]
+        m4 = jax.lax.reduce_window(m[None], -jnp.inf, jax.lax.max,
+                                   (1, 3, 3, 1), (1, 1, 1, 1), "SAME")[0]
+        idx = np.arange(R ** 3)
+        k = idx % R
+        j = (idx // R) % R
+        i = idx // (R * R)
+        pts = np.stack([i, j, k]).astype(np.float32)
+        pts = (np.diag(mat[:3, :3])[:, None] * pts
+               + mat[:3, 3][:, None]).astype(np.float32)
+        xyz = np.asarray(orthogonal(jnp.asarray(pts)[None],
+                                    jnp.asarray(calib)))
+        uv = np.swapaxes(xyz[:, :2, :], 1, 2)
+        hit = np.asarray(grid_sample_points(m4[None],
+                                            jnp.asarray(uv)))[0, :, 0]
+        return (hit > 0).reshape(R, R, R)
+
+    np.testing.assert_array_equal(d2, oracle(calib_fixed))
+
+    # generic path: a yaw-rotated calib (no exact-zero uv column)
+    th = 0.3
+    rot = np.array([[np.cos(th), 0, np.sin(th), 0],
+                    [0, -2.0, 0, 0],
+                    [-np.sin(th), 0, np.cos(th), 0],
+                    [0, 0, 0, 1.0]], np.float32)
+    rot[0] *= 2.0
+    rot[2] *= 2.0
+    calib_rot = rot[None]
+    d3 = np.asarray(silhouette_dirty_mask(jnp.asarray(mask), calib_rot,
+                                          R, mat, dilate=1,
+                                          chunk=R ** 3 // 4 + 7,
+                                          cache=cache))
+    np.testing.assert_array_equal(d3, oracle(calib_rot))
+
+
+def test_silhouette_init_masks_match_strided_sampling():
+    """Per-level mask computation (scaled affine) == stride-reso samples
+    of the full-resolution mask — the two init_dirty forms the octree
+    evaluators accept must be interchangeable."""
+    import jax.numpy as jnp
+    from surs_tpu.recon.evaluator import (silhouette_dirty_mask,
+                                          silhouette_init_masks,
+                                          _sample_init,
+                                          _sample_init_center,
+                                          _level_schedule)
+    from surs_tpu.recon.grid import grid_matrix
+
+    R, S = 32, 16
+    rng = np.random.default_rng(9)
+    mask = (rng.random((S, S)) > 0.45).astype(np.float32)
+    mat = grid_matrix((R,) * 3, [-0.5] * 3, [0.5] * 3)
+    calib = np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32)[None]
+    cache = {}
+    full = silhouette_dirty_mask(jnp.asarray(mask), calib, R, mat,
+                                 dilate=2, cache=cache)
+    per_level = silhouette_init_masks(jnp.asarray(mask), calib, R, mat,
+                                      init_resolution=8, dilate=2,
+                                      cache=cache)
+    for reso in _level_schedule(R, 8):
+        np.testing.assert_array_equal(
+            np.asarray(per_level["lat"][reso]),
+            np.asarray(_sample_init(full, R, reso)),
+            err_msg=f"lat reso={reso}")
+        if reso > 1:
+            np.testing.assert_array_equal(
+                np.asarray(per_level["center"][reso]),
+                np.asarray(_sample_init_center(full, R, reso)),
+                err_msg=f"center reso={reso}")
