@@ -127,7 +127,7 @@ def main():
     # ---- primary metric: dense occupancy-query throughput ----
     # one compiled program (fori_loop over chunks) evaluating every
     # point of a fixed R_dense^3 grid — no dispatch or elision artifacts
-    R_dense = 128 if on_tpu else 32
+    R_dense = 256 if on_tpu else 32
     dense_args = (weights, feats_lr, feat_hr, calib_b := np.asarray(calib),
                   R_dense, np.asarray(cfg.b_min), np.asarray(cfg.b_max))
     t0 = time.time()

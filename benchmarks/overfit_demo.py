@@ -67,7 +67,7 @@ it = 0
 TARGET = 2500
 while it < TARGET:
     for raw in dl:
-        b = batch_to_device(raw)
+        b = batch_to_device(raw, quantize_images=True)
         state, m = step(state, b)
         if it % 50 == 0:
             losses.append(float(m["total"]))

@@ -87,7 +87,7 @@ open(os.path.join(root, "val.txt"), "w").write("")
 print(f"subject meshes built in {time.time()-t0:.1f}s", flush=True)
 
 t0 = time.time()
-render_dataset(obj_dir, root, load_size=LOAD, yaw_step=30, patch=32)
+render_dataset(obj_dir, root, load_size=LOAD, yaw_step=30, patch=16)
 print(f"dataset rendered ({LOAD}px, 12 views) in {time.time()-t0:.1f}s",
       flush=True)
 
@@ -138,7 +138,7 @@ it = 0
 first_loss = None
 while it < ITERS_TRAIN:
     for raw in dl:
-        b = batch_to_device(raw)
+        b = batch_to_device(raw, quantize_images=True)
         state, m = step(state, b)
         if it == 0 or it % 250 == 0:
             loss = float(m["total"])

@@ -26,7 +26,7 @@ from ..ops.geometry import PROJECTIONS, in_image_mask, normalize_depth
 from ..ops.grid_sample import grid_sample_points
 from ..ops.fused_mlp import (prepare_fused_weights,
                              make_fused_dual_mlp_train_ad)
-from .step import TrainState
+from .step import TrainState, denormalize_images
 
 
 def make_fused_train_step(model: SuRSNet, optimizer, block_n: int = 512,
@@ -96,6 +96,7 @@ def make_fused_train_step(model: SuRSNet, optimizer, block_n: int = 512,
         return total, (errors, preds_hr[-1], preds_lr[-1])
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        batch = denormalize_images(batch)
         grads, (errors, pred_hr, pred_lr) = jax.grad(
             loss_fn, has_aux=True)(state.params, batch)
         updates, new_opt_state = optimizer.update(grads, state.opt_state,

@@ -27,16 +27,28 @@ from .checkpoint import CheckpointManager
 from ..utils.profiling import Profiler
 
 
-def batch_to_device(batch: Dict) -> Dict[str, jnp.ndarray]:
+def batch_to_device(batch: Dict, quantize_images: bool = False
+                    ) -> Dict[str, jnp.ndarray]:
     """Map dataset keys -> model kwargs, labels to [B, N, 1].
 
     Multi-view batches arrive as [B, V, ...]; images/calibs collapse to
     [B*V, ...] and sample points repeat per view, the equivalent of the
     reference's reshape_multiview_tensors / reshape_sample_tensor
     (lib/train_util.py:14-51).
+
+    ``quantize_images``: ship images as uint8 (the augmented pixels come
+    from 8-bit sources, so round((x+1)*127.5) is lossless) — 4x less
+    host->device traffic; the train steps normalize back on device. On
+    a tunneled host link the f32 image upload otherwise dominates step
+    time (25 MB/batch at loadSize 512).
     """
     img_lr = np.asarray(batch["img_LR"])
     img_hr = np.asarray(batch["img_HR"])
+    if quantize_images:
+        img_lr = np.clip(np.rint((img_lr + 1.0) * 127.5), 0,
+                         255).astype(np.uint8)
+        img_hr = np.clip(np.rint((img_hr + 1.0) * 127.5), 0,
+                         255).astype(np.uint8)
     calib = np.asarray(batch["calib"])
     pts_lr = np.asarray(batch["samples_LR"])
     pts_hr = np.asarray(batch["samples_HR"])
@@ -114,7 +126,7 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
         iter_data_t = time.time()
         for idx, raw in enumerate(loader):
             iter_start = time.time()
-            batch = batch_to_device(raw)
+            batch = batch_to_device(raw, quantize_images=True)
             state, metrics = step_fn(state, batch)
             # only sync on the loss when logging — a per-step device
             # fetch would serialize the async dispatch pipeline

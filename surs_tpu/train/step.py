@@ -19,6 +19,16 @@ from flax import struct
 from ..models.surs_net import SuRSNet
 
 
+def denormalize_images(batch):
+    """Device-side cast for uint8-shipped images (see batch_to_device):
+    x/127.5 - 1 reproduces the host's 8-bit -> [-1, 1] normalization."""
+    out = dict(batch)
+    for k in ("images_lr", "images_hr"):
+        if out[k].dtype == jnp.uint8:
+            out[k] = out[k].astype(jnp.float32) / 127.5 - 1.0
+    return out
+
+
 class TrainState(struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
@@ -50,6 +60,8 @@ def make_train_step(model: SuRSNet, optimizer, donate: bool = True):
     has_bn = model.norm == "batch"
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        batch = denormalize_images(batch)
+
         def loss_fn(params):
             variables = {"params": params}
             if has_bn:
@@ -82,6 +94,7 @@ def make_train_step(model: SuRSNet, optimizer, donate: bool = True):
 def make_eval_loss_step(model: SuRSNet):
     """Jitted loss-only forward for validation."""
     def step(params, batch):
+        batch = denormalize_images(batch)
         _, total, _, errors = model.apply({"params": params}, train=False,
                                           **batch)
         return errors

@@ -104,3 +104,28 @@ def test_checkpoint_roundtrip(tmp_path, rng):
                  jax.tree.map(np.asarray, state.params),
                  jax.tree.map(np.asarray, restored.params))
     assert int(restored.step) == 1
+
+
+def test_uint8_image_wire_format_lossless():
+    """batch_to_device(quantize_images=True) + the device-side
+    denormalization reproduces the f32 images exactly for 8-bit-sourced
+    pixels (the wire format is 4x smaller)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from surs_tpu.train.loop import batch_to_device
+    from surs_tpu.train.step import denormalize_images
+
+    rng = np.random.default_rng(0)
+    k = rng.integers(0, 256, (1, 8, 8, 3))
+    img = (k / 255.0 * 2.0 - 1.0).astype(np.float32)
+    raw = {"img_LR": img, "img_HR": img.copy(),
+           "calib": np.eye(4, dtype=np.float32)[None],
+           "samples_LR": np.zeros((1, 3, 4), np.float32),
+           "samples_HR": np.zeros((1, 3, 4), np.float32),
+           "labels_disp": np.zeros((1, 1, 4), np.float32),
+           "labels_HR": np.zeros((1, 1, 4), np.float32)}
+    b = batch_to_device(raw, quantize_images=True)
+    assert b["images_lr"].dtype == jnp.uint8
+    d = denormalize_images(b)
+    np.testing.assert_allclose(np.asarray(d["images_lr"]), img,
+                               atol=1e-6)
