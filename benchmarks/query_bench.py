@@ -88,9 +88,8 @@ for dtype_name, fdt in (("f32", jnp.float32), ("bf16", jnp.bfloat16)):
     fwp = prepare_fused_weights(p_lr, p_hr, DIMS_LR, DIMS_HR,
                                 dtype=jnp.bfloat16, base_split=(256, 65))
     f_lr_q = jax.jit(pack_bilinear)(f_lr)
-    f_hr_q = jax.jit(pack_bilinear)(f_hr)
-    jax.block_until_ready((f_lr_q, f_hr_q))
+    jax.block_until_ready(f_lr_q)
     run(f"packed  feat={dtype_name}",
         lambda fw, fl, fh, p: fused_query_packed(fw, fl, fh, p, calib,
                                                  LOAD, 200.0),
-        f_lr_q, f_hr_q, fwp)
+        f_lr_q, f_hr, fwp)

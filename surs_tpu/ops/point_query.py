@@ -45,19 +45,21 @@ def fused_query(fw: FusedWeights, feat_lr: jnp.ndarray,
 
 
 def fused_query_packed(fw: FusedWeights, feat_lr_q: jnp.ndarray,
-                       feat_hr_q: jnp.ndarray, points: jnp.ndarray,
+                       feat_hr: jnp.ndarray, points: jnp.ndarray,
                        calibs: jnp.ndarray, load_size: int, z_size: float,
                        projection: str = "orthogonal",
                        use_pallas: bool = True,
                        block_n: int = 512, interpret: bool = False
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Bandwidth-optimized query over pack_bilinear'd feature maps.
+    """Bandwidth-optimized query: packed lr map + 4-tap hr map.
 
     Same math as :func:`fused_query`, two structural changes for the
     HBM-bound gather stage (the round-1 bottleneck after the MLP kernel
-    reached MXU peak): (a) each map needs ONE contiguous quad-row gather
-    instead of four scattered row gathers; (b) the sampled segments feed
-    the kernel as separate lane-aligned arrays (``fw`` must be prepared
+    reached MXU peak): (a) the lr map (256ch rows — the heavy gather)
+    is pack_bilinear'd so sampling is ONE contiguous quad-row gather;
+    the hr map keeps 4-tap gathers (measured FASTER than packed for its
+    thin 64ch/128 B rows at bf16); (b) the sampled segments feed the
+    kernel as separate lane-aligned arrays (``fw`` must be prepared
     with ``base_split=(C_lr, C_hr + 1)``), so the [N, C_in] concat+pad
     pass never materializes.
     """
@@ -69,7 +71,7 @@ def fused_query_packed(fw: FusedWeights, feat_lr_q: jnp.ndarray,
     uv = jnp.swapaxes(xy, 1, 2)                                 # [B, N, 2]
 
     x_lr = grid_sample_points_packed(feat_lr_q, uv)             # [B,N,Clr]
-    x_hr = grid_sample_points_packed(feat_hr_q, uv)             # [B,N,Chr]
+    x_hr = grid_sample_points(feat_hr, uv)                      # [B,N,Chr]
     xz = jnp.concatenate([x_hr, z_feat.astype(x_hr.dtype)], axis=-1)
     B, N, C_lr = x_lr.shape
     parts = [x_lr.reshape(B * N, C_lr),

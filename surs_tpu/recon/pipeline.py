@@ -97,8 +97,8 @@ class Reconstructor:
 
     def _make_ctx(self, weights, feats_lr, feat_hr, calib):
         if self.feature_pack:
-            # one jitted program: dtype cast + quad packing of the two
-            # maps the query actually samples (last lr stack + hr)
+            # one jitted program: dtype cast + quad packing of the lr
+            # map (the hr map stays 4-tap — faster for its thin rows)
             key = ("ctx-pack", feats_lr[-1].shape, feat_hr.shape)
             if key not in self._cache:
                 from ..ops.grid_sample import pack_bilinear
@@ -108,11 +108,11 @@ class Reconstructor:
                     if fdt is not None:
                         f_lr = f_lr.astype(fdt)
                         f_hr = f_hr.astype(fdt)
-                    return pack_bilinear(f_lr), pack_bilinear(f_hr)
+                    return pack_bilinear(f_lr), f_hr
                 self._cache[key] = jax.jit(prep)
-            f_lr_q, f_hr_q = self._cache[key](feats_lr[-1], feat_hr)
+            f_lr_q, f_hr_c = self._cache[key](feats_lr[-1], feat_hr)
             return {"weights": weights, "feats_lr": [f_lr_q],
-                    "feat_hr": f_hr_q, "calib": jnp.asarray(calib)}
+                    "feat_hr": f_hr_c, "calib": jnp.asarray(calib)}
         if self.feature_dtype is not None:
             feats_lr = [f.astype(self.feature_dtype) for f in feats_lr]
             feat_hr = feat_hr.astype(self.feature_dtype)

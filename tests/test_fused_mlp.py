@@ -157,7 +157,7 @@ def test_fused_query_packed_matches_model(rng):
     qf = make_fused_query_fn(load_size=32, z_size=200.0,
                              use_pallas=False, packed=True)
     got_hr, got_lr = qf(fw, [pack_bilinear(feats_lr[-1])],
-                        pack_bilinear(feat_hr), pts, calib)
+                        feat_hr, pts, calib)
     np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
