@@ -45,6 +45,13 @@ class TrainDataset:
         self.MASK = os.path.join(self.root, "MASK")
         self.PARAM = os.path.join(self.root, "PARAM")
         self.OBJ = os.path.join(self.root, "GEO", "OBJ")
+        # optional UV-space renders for color supervision (the THuman
+        # pipeline layout the reference consumes,
+        # lib/data/TrainDataset_LR_v2.py:441-494)
+        self.UV_RENDER = os.path.join(self.root, "UV_RENDER")
+        self.UV_MASK = os.path.join(self.root, "UV_MASK")
+        self.UV_POS = os.path.join(self.root, "UV_POS")
+        self.UV_NORMAL = os.path.join(self.root, "UV_NORMAL")
         self.projection_mode = "orthogonal"
         self.B_MIN = np.asarray(cfg.b_min, dtype=float)
         self.B_MAX = np.asarray(cfg.b_max, dtype=float)
@@ -55,6 +62,56 @@ class TrainDataset:
         self._mesh_cache: OrderedDict = OrderedDict()
         self._mesh_cache_size = mesh_cache
         self._contains_fn = contains_fn
+
+    def get_color_sampling(self, subject: str, yid: int, pid: int = 0,
+                           rng: np.random.Generator = None):
+        """Color-supervision samples from UV-space renders.
+
+        Reference get_color_sampling (lib/data/TrainDataset_LR_v2.py:
+        441-494): pick ``num_sample_color`` texels inside the UV mask,
+        take their 3-D surface position (UV_POS .exr, first-party
+        reader — no OpenCV/OpenEXR dependency), jitter along the texel
+        normal by N(0, sigma), and pair with the texel color in
+        [-1, 1]. Returns {color_samples [3, N], rgbs [3, N]}.
+        """
+        from PIL import Image
+        from ..utils.exr import read_exr
+
+        rng = rng or np.random.default_rng()
+        yaw = self.yaw_list[yid]
+        pitch = self.pitch_list[pid]
+        uv_render_path = os.path.join(
+            self.UV_RENDER, subject, f"{yaw}_{pitch}_00.jpg")
+        uv_mask_path = os.path.join(self.UV_MASK, subject, "00.png")
+        uv_pos_path = os.path.join(self.UV_POS, subject, "00.exr")
+        uv_normal_path = os.path.join(self.UV_NORMAL, subject, "00.png")
+
+        uv_mask = np.asarray(Image.open(uv_mask_path))
+        if uv_mask.ndim == 3:
+            uv_mask = uv_mask[..., 0]
+        uv_mask = uv_mask.reshape(-1) != 0
+        uv_render = np.asarray(
+            Image.open(uv_render_path).convert("RGB"),
+            np.float32).reshape(-1, 3) / 255.0
+        uv_normal = np.asarray(
+            Image.open(uv_normal_path).convert("RGB"),
+            np.float32).reshape(-1, 3) / 255.0 * 2.0 - 1.0
+        uv_pos = read_exr(uv_pos_path).reshape(-1, 3)
+
+        pts = uv_pos[uv_mask]
+        cols = uv_render[uv_mask]
+        nrm = uv_normal[uv_mask]
+        n = self.cfg.num_sample_color
+        if n:
+            sel = rng.choice(pts.shape[0], size=n, replace=False)
+            pts, cols, nrm = pts[sel], cols[sel], nrm[sel]
+        offset = rng.normal(0.0, self.cfg.sigma, (pts.shape[0], 1))
+        samples = (pts + offset * nrm).T.astype(np.float32)
+        rgbs = (2.0 * cols - 1.0).T.astype(np.float32)
+        return {"color_samples": samples, "rgbs": rgbs}
+
+    def has_uv_renders(self) -> bool:
+        return os.path.isdir(self.UV_RENDER)
 
     def _get_subjects(self):
         all_subjects = os.listdir(self.RENDER)
@@ -163,6 +220,11 @@ class TrainDataset:
                     mesh_hr, mesh_lr, self.cfg.num_sample_inout,
                     self.cfg.sigma, self.B_MIN, self.B_MAX, rng,
                     contains_fn=self._contains_fn))
+        if self.cfg.num_sample_color and self.has_uv_renders():
+            # reference hook: color supervision rides the same item
+            # (lib/data/TrainDataset_LR_v2.py:527-529)
+            item.update(self.get_color_sampling(subject, yid, pid,
+                                                rng=rng))
         return item
 
     def _load_cached_samples(self, subject: str,
