@@ -105,11 +105,11 @@ def main():
     rec = Reconstructor(model, query_fn=query_fn,
                         feature_dtype=jnp.bfloat16 if on_tpu else None,
                         feature_pack=on_tpu)
-    # fused mode runs each octree level as ONE program (9 dispatches
-    # total) — the timed production path; hostloop provides the query
-    # -count stats (one compiled chunk program, host-driven)
+    # mono mode runs the whole octree schedule as ONE program — the
+    # timed production path; hostloop provides the query-count stats
+    # (one compiled chunk program, host-driven)
     rec_fused = Reconstructor(model, query_fn=query_fn,
-                              octree_mode="fused" if on_tpu
+                              octree_mode="mono" if on_tpu
                               else "hostloop",
                               feature_dtype=jnp.bfloat16 if on_tpu
                               else None,

@@ -25,7 +25,8 @@ import jax.numpy as jnp
 from ..models.surs_net import SuRSNet
 from .grid import grid_matrix
 from .evaluator import (eval_grid_octree, eval_grid_octree_hostloop,
-                        eval_grid_dense, silhouette_init_masks)
+                        eval_grid_octree_mono, eval_grid_dense,
+                        silhouette_init_masks)
 from .marching import extract_isosurface
 from .mesh_io import save_obj_mesh
 
@@ -54,7 +55,8 @@ class Reconstructor:
         self.model = model
         self.query_fn = query_fn
         # 'hostloop': one compiled query program re-dispatched per chunk
-        # (fast compile); 'fused': whole level in one while_loop program
+        # (fast compile); 'fused': one program per level; 'mono': the
+        # whole schedule as ONE program (one dispatch per evaluation)
         self.octree_mode = octree_mode
         # optional bf16 storage for the pixel-aligned feature maps:
         # halves gather traffic in the query hot loop (~+30% qps);
@@ -155,9 +157,9 @@ class Reconstructor:
                 init_resolution=init_resolution,
                 dilate=silhouette_dilate, cache=self._cache)
         if use_octree:
-            octree = (eval_grid_octree_hostloop
-                      if self.octree_mode == "hostloop"
-                      else eval_grid_octree)
+            octree = {"hostloop": eval_grid_octree_hostloop,
+                      "fused": eval_grid_octree,
+                      "mono": eval_grid_octree_mono}[self.octree_mode]
             kw = {"stats_out": stats_out} \
                 if self.octree_mode == "hostloop" else {}
             sdf_hr, sdf_lr = octree(

@@ -62,15 +62,24 @@ class SuRSService:
             else load_params(cfg, self.model)
         query_fn = None
         self.weights = self.params
+        pack = bool(getattr(cfg, "feature_pack", False))
         if cfg.use_pallas and jax.default_backend() != "cpu":
+            base_split = (cfg.hg_dim, cfg.mlp_dim_lr[0] - cfg.hg_dim) \
+                if pack else None
             self.weights = prepare_fused_weights(
                 self.params["mlp_lr"], self.params["mlp_hr"],
                 cfg.mlp_dim_lr, cfg.mlp_dim_hr, cfg.mlp_res_layers_lr,
-                cfg.mlp_res_layers_hr)
-            query_fn = make_fused_query_fn(cfg.loadSize, cfg.z_size)
+                cfg.mlp_res_layers_hr, base_split=base_split)
+            query_fn = make_fused_query_fn(cfg.loadSize, cfg.z_size,
+                                           packed=pack)
+        else:
+            pack = False
         fdt = jnp.bfloat16 if cfg.feature_dtype == "bfloat16" else None
         self.rec = Reconstructor(self.model, query_fn=query_fn,
-                                 feature_dtype=fdt)
+                                 feature_dtype=fdt, feature_pack=pack,
+                                 octree_mode=getattr(
+                                     cfg, "serve_octree_mode",
+                                     "hostloop"))
 
     def warmup(self, image_hw: Tuple[int, int]) -> float:
         """Pre-compile all programs for an input shape; returns seconds."""

@@ -491,3 +491,45 @@ def test_silhouette_init_masks_match_strided_sampling():
                 np.asarray(per_level["center"][reso]),
                 np.asarray(_sample_init_center(full, R, reso)),
                 err_msg=f"center reso={reso}")
+
+
+def test_octree_mono_matches_hostloop():
+    """The single-program octree == the host-driven one (same fields),
+    with and without per-level init masks."""
+    import jax.numpy as jnp
+    from surs_tpu.recon.evaluator import (eval_grid_octree_hostloop,
+                                          eval_grid_octree_mono,
+                                          silhouette_init_masks)
+    from surs_tpu.recon.grid import grid_matrix
+
+    R = 16
+    mat = grid_matrix((R,) * 3, [-0.5] * 3, [0.5] * 3)
+
+    def eval_fn(pts, ctx):
+        d = jnp.sqrt((pts ** 2).sum(0))
+        return (0.30 - d) + 0.5, (0.28 - d) + 0.5
+
+    a_hr, a_lr = eval_grid_octree_hostloop(
+        eval_fn, R, mat, 0.05, init_resolution=4, num_samples=64,
+        ctx=None)
+    b_hr, b_lr = eval_grid_octree_mono(
+        eval_fn, R, mat, 0.05, init_resolution=4, num_samples=64,
+        ctx=None)
+    np.testing.assert_allclose(np.asarray(b_hr), np.asarray(a_hr),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(b_lr), np.asarray(a_lr),
+                               atol=1e-6)
+
+    mask = np.zeros((8, 8), np.float32)
+    mask[2:6, 2:6] = 1.0
+    calib = np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32)[None]
+    im = silhouette_init_masks(jnp.asarray(mask), calib, R, mat,
+                               init_resolution=4, dilate=1)
+    a_hr, _ = eval_grid_octree_hostloop(
+        eval_fn, R, mat, 0.05, init_resolution=4, num_samples=64,
+        ctx=None, init_dirty=im)
+    b_hr, _ = eval_grid_octree_mono(
+        eval_fn, R, mat, 0.05, init_resolution=4, num_samples=64,
+        ctx=None, init_dirty=im)
+    np.testing.assert_allclose(np.asarray(b_hr), np.asarray(a_hr),
+                               atol=1e-6)
