@@ -35,7 +35,7 @@ Tables are imported from ``tetra.py`` so both backends cannot drift.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 import jax
@@ -324,6 +324,12 @@ def _bucket(n: int, quantum: int = 1 << 16) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
+# last cell bucket that fit a given volume shape: lets repeat
+# extractions skip the count program + its host sync and go straight to
+# the core (speculative; a miss falls back to recount + rerun)
+_LAST_CELL_BUCKET: Dict = {}
+
+
 @functools.partial(jax.jit, static_argnames=("dims",))
 def _count_cells(vol_flat, level, dims):
     X, Y, Z = dims
@@ -352,30 +358,47 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
                          "max_verts must be <= 2^21")
     vol = jnp.asarray(volume, jnp.float32)
     X, Y, Z = vol.shape
-    nc0 = int(jax.device_get(_count_cells(vol.reshape(-1), float(level),
-                                          (X, Y, Z))))
-    if nc0 > max_cells:
-        raise ValueError(
-            f"marching_tetrahedra_device capacity exceeded: cells "
-            f"{nc0}/{max_cells}")
-    bucket = 1 << 12
-    while bucket < nc0:
-        bucket *= 2
-    max_cells = min(max_cells, bucket)
-    # a cell emits at most 12 triangles, so the face buffers can shrink
-    # to the cell bucket too (the finalize pass is linear in max_tris)
-    max_tris = min(max_tris, 12 * max_cells)
-    max_verts = min(max_verts, N_SLOTS * max_cells)
-    out = _march_core(vol.reshape(-1), float(level), (X, Y, Z),
-                      max_cells, max_tris, max_verts, cell_chunk)
-    vid_of, t_of, w0, w1, compact, n_verts, n_faces, n_cells, n_tris = out
-    nv, nf, nc, nt = map(int, jax.device_get(
-        (n_verts, n_faces, n_cells, n_tris)))
-    if nc > max_cells or nt > max_tris or nv > max_verts:
-        raise ValueError(
-            f"marching_tetrahedra_device capacity exceeded: cells "
-            f"{nc}/{max_cells}, tris {nt}/{max_tris}, verts "
-            f"{nv}/{max_verts}")
+    bkey = (X, Y, Z, max_cells)
+    bucket = _LAST_CELL_BUCKET.get(bkey)
+    if bucket is None:
+        nc0 = int(jax.device_get(_count_cells(vol.reshape(-1),
+                                              float(level), (X, Y, Z))))
+        if nc0 > max_cells:
+            raise ValueError(
+                f"marching_tetrahedra_device capacity exceeded: cells "
+                f"{nc0}/{max_cells}")
+        bucket = min(max_cells, _bucket(max(nc0, 1), 1 << 15))
+
+    def run(bucket):
+        mc = min(max_cells, bucket)
+        # a cell emits <= 12 triangles, so face/vertex buffers shrink
+        # to the cell bucket too (finalize is linear in these caps)
+        mt = min(max_tris, 12 * mc)
+        mv = min(max_verts, N_SLOTS * mc)
+        out = _march_core(vol.reshape(-1), float(level), (X, Y, Z),
+                          mc, mt, mv, cell_chunk)
+        counts = tuple(map(int, jax.device_get(out[5:9])))
+        return out, mc, mt, mv, counts
+
+    out, mc, mt, mv, (nv, nf, nc, nt) = run(bucket)
+    if nc > mc or nt > mt or nv > mv:
+        # speculative bucket miss (or true overflow): size to the real
+        # counts and rerun once
+        if nc > max_cells or nt > max_tris or nv > max_verts:
+            raise ValueError(
+                f"marching_tetrahedra_device capacity exceeded: cells "
+                f"{nc}/{max_cells}, tris {nt}/{max_tris}, verts "
+                f"{nv}/{max_verts}")
+        need = max(nc, -(-nt // 12), -(-nv // N_SLOTS))
+        bucket = min(max_cells, _bucket(need, 1 << 15))
+        out, mc, mt, mv, (nv, nf, nc, nt) = run(bucket)
+        if nc > mc or nt > mt or nv > mv:
+            raise ValueError(
+                f"marching_tetrahedra_device capacity exceeded: cells "
+                f"{nc}/{mc}, tris {nt}/{mt}, verts {nv}/{mv}")
+    _LAST_CELL_BUCKET[bkey] = bucket
+    vid_of, t_of, w0, w1, compact = out[:5]
+    max_verts, max_tris, max_cells = mv, mt, mc
     # fetch in coarse buckets so the slice programs are reused
     bv = min(_bucket(nv), max_verts)
     bf = min(_bucket(nf), max_tris)
