@@ -83,3 +83,60 @@ def test_uv_color_sampling(tmp_path):
         d = np.abs(masked_pos[:, [0, 2]]
                    - out["color_samples"][[0, 2], i]).sum(1)
         assert d.min() < 3e-3
+
+
+def test_uv_color_samples_drive_netc_training(tmp_path):
+    """End-to-end: UV-sampled color labels feed the netC training step
+    (batch contract: points [B,3,N] from color_samples, rgbs [B,N,3])."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from PIL import Image
+    from surs_tpu.config import SuRSConfig
+    from surs_tpu.data import TrainDataset
+    from surs_tpu.models.pifu_legacy import ResBlkColorNet
+    from surs_tpu.train.color import (create_color_state,
+                                      make_color_train_step)
+
+    root = str(tmp_path)
+    subj = "s0"
+    for d in ("RENDER", "UV_RENDER", "UV_MASK", "UV_POS", "UV_NORMAL"):
+        os.makedirs(os.path.join(root, d, subj), exist_ok=True)
+    open(os.path.join(root, "val.txt"), "w").write("")
+    Image.new("RGB", (8, 8)).save(
+        os.path.join(root, "RENDER", subj, "0_0_00.jpg"))
+    H = W = 12
+    rng = np.random.default_rng(4)
+    Image.fromarray(np.full((H, W), 255, np.uint8)).save(
+        os.path.join(root, "UV_MASK", subj, "00.png"))
+    Image.fromarray((rng.random((H, W, 3)) * 255).astype(np.uint8)).save(
+        os.path.join(root, "UV_RENDER", subj, "0_0_00.jpg"))
+    Image.fromarray(np.full((H, W, 3), 255, np.uint8)).save(
+        os.path.join(root, "UV_NORMAL", subj, "00.png"))
+    write_exr(os.path.join(root, "UV_POS", subj, "00.exr"),
+              rng.standard_normal((H, W, 3)).astype(np.float32) * 0.3)
+
+    cfg = SuRSConfig(dataroot=root, num_sample_color=24, sigma=0.02,
+                     num_sample_inout=0)
+    ds = TrainDataset(cfg, phase="train", yaw_list=[0])
+    col = ds.get_color_sampling(subj, 0, 0, rng=rng)
+
+    net = ResBlkColorNet(load_size=16,
+                         mlp_dim_color=(257, 64, 32, 3))
+    opt = optax.adam(1e-3)
+    batch = {
+        "images": jnp.asarray(
+            rng.standard_normal((1, 16, 16, 3)).astype(np.float32)),
+        "points": jnp.asarray(col["color_samples"][None]),
+        "calibs": jnp.asarray(np.diag(
+            [2.0, -2.0, 2.0, 1.0]).astype(np.float32))[None],
+        "rgbs": jnp.asarray(col["rgbs"].T[None]),
+    }
+    state = create_color_state(net, opt, jax.random.PRNGKey(0), batch)
+    step = make_color_train_step(net, opt)
+    losses = []
+    for _ in range(3):
+        state, loss = step(state, batch)
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
