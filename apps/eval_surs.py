@@ -53,8 +53,9 @@ def main():
 
     fdt = jnp.bfloat16 \
         if getattr(cfg, "feature_dtype", "float32") == "bfloat16" else None
-    rec = _get_reconstructor(model, query_fn, feature_dtype=fdt,
-                             feature_pack=pack)
+    rec = _get_reconstructor(
+        model, query_fn, feature_dtype=fdt, feature_pack=pack,
+        octree_mode=getattr(cfg, "octree_mode", "hostloop"))
     weights = fw if fw is not None else params
 
     # optional color branch (netC): --with_color +

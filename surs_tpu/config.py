@@ -158,6 +158,8 @@ class SuRSConfig:
     mc_backend: str = "host"        # isosurface extraction: 'host',
                                     # 'device' (TPU marching tets), or
                                     # 'auto' (device w/ host fallback)
+    octree_mode: str = "hostloop"   # eval CLI / gen_mesh evaluator:
+                                    # hostloop | fused | mono
     serve_octree_mode: str = "hostloop"  # SuRSService evaluator:
                                     # 'hostloop' | 'fused' | 'mono'
     octree_init_resolution: int = 64

@@ -275,10 +275,13 @@ _RECON_CACHE: Dict = {}
 
 
 def _get_reconstructor(model: SuRSNet, query_fn, feature_dtype=None,
-                       feature_pack: bool = False) -> Reconstructor:
-    key = (model, query_fn, str(feature_dtype), feature_pack)
+                       feature_pack: bool = False,
+                       octree_mode: str = "hostloop") -> Reconstructor:
+    key = (model, query_fn, str(feature_dtype), feature_pack,
+           octree_mode)
     if key not in _RECON_CACHE:
         _RECON_CACHE[key] = Reconstructor(model, query_fn,
+                                          octree_mode=octree_mode,
                                           feature_dtype=feature_dtype,
                                           feature_pack=feature_pack)
     return _RECON_CACHE[key]
@@ -310,7 +313,8 @@ def gen_mesh(cfg, model: SuRSNet, params, data: dict, save_path: str,
     rec = _get_reconstructor(
         model, query_fn, feature_dtype=fdt,
         feature_pack=bool(getattr(cfg, "feature_pack", False)
-                          and query_fn is not None))
+                          and query_fn is not None),
+        octree_mode=getattr(cfg, "octree_mode", "hostloop"))
     weights = query_weights if query_weights is not None else params
     return rec.gen_mesh(cfg, params, weights, data, save_path, use_octree)
 
