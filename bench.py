@@ -200,16 +200,25 @@ def main():
             marching_tetrahedra_device, marching_tetrahedra_device_begin)
         svol = humanoid_volume(R)
         fetch(svol[0, 0, 0])
-        verts, faces = marching_tetrahedra_device(svol, 0.5)  # compile
-        t_mc = t_mc_dev = 1e30
-        for _ in range(2):
-            t0 = time.time()
-            fin = marching_tetrahedra_device_begin(svol, 0.5)
-            t_dev = time.time() - t0     # device compute + counts
-            verts, faces = fin()         # host-link transfer + decode
-            t_mc = min(t_mc, time.time() - t0)
-            t_mc_dev = min(t_mc_dev, t_dev)
-        mc_backend = "device"
+        # cubes = the reference's marching-cubes tessellation density
+        # (~3x fewer triangles than tets); both algorithms timed
+        t_by_algo = {}
+        for algo in ("tets", "cubes"):
+            marching_tetrahedra_device(svol, 0.5, algorithm=algo)
+            t_mc_a = t_dev_a = 1e30
+            for _ in range(2):
+                t0 = time.time()
+                fin = marching_tetrahedra_device_begin(svol, 0.5,
+                                                       algorithm=algo)
+                t_d = time.time() - t0   # device compute + counts
+                verts, faces = fin()     # host-link transfer + decode
+                t_mc_a = min(t_mc_a, time.time() - t0)
+                t_dev_a = min(t_dev_a, t_d)
+            t_by_algo[algo] = (t_mc_a, t_dev_a, faces.shape[0])
+            log(f"device MC [{algo}]: {t_mc_a:.2f}s total "
+                f"({t_dev_a:.2f}s device), {faces.shape[0]} faces")
+        t_mc, t_mc_dev, _ = t_by_algo["cubes"]
+        mc_backend = "device-cubes"
     else:
         from surs_tpu.recon.marching import extract_isosurface
         g = np.mgrid[:R, :R, :R].astype(np.float32) - (R - 1) / 2
@@ -253,6 +262,9 @@ def main():
             "mc_sec": round(t_mc, 3),
             "mc_sec_device_compute": round(t_mc_dev, 3) if on_tpu
             else None,
+            "mc_sec_tets": round(t_by_algo["tets"][0], 3) if on_tpu
+            else None,
+            "mc_faces_tets": t_by_algo["tets"][2] if on_tpu else None,
             "sec_per_mesh_device_side": round(t_mesh_dev, 3),
             "obj_sec": round(t_obj, 3),
             "encode_sec_first_call": round(t_encode, 3),

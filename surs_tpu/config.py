@@ -158,6 +158,9 @@ class SuRSConfig:
     mc_backend: str = "host"        # isosurface extraction: 'host',
                                     # 'device' (TPU marching tets), or
                                     # 'auto' (device w/ host fallback)
+    mc_algorithm: str = "tets"      # device extractor tessellation:
+                                    # tets (exact MT) | cubes (~3x
+                                    # fewer tris, classic MC table)
     octree_mode: str = "hostloop"   # eval CLI / gen_mesh evaluator:
                                     # hostloop | fused | mono
     serve_octree_mode: str = "hostloop"  # SuRSService evaluator:

@@ -258,9 +258,11 @@ class Reconstructor:
         path_lr = save_path[:-4] + "_LR.obj"
         paths = [path_hr, path_lr]
         # streamed: the HR OBJ write overlaps the LR mesh's transfer
+        mc_caps = {"algorithm": getattr(cfg, "mc_algorithm", "tets")}
         for path, (verts, faces) in zip(paths, self.extract_pair(
                 sdf_hr, sdf_lr, mat,
-                mc_backend=getattr(cfg, "mc_backend", "host"))):
+                mc_backend=getattr(cfg, "mc_backend", "host"),
+                mc_caps=mc_caps)):
             save_obj_mesh(path, verts, faces)
         return path_hr, path_lr
 

@@ -92,6 +92,38 @@ _OFFX = _CORNER_OFFSETS[:, 0].astype(np.int32)
 _OFFY = _CORNER_OFFSETS[:, 1].astype(np.int32)
 _OFFZ = _CORNER_OFFSETS[:, 2].astype(np.int32)
 
+# ---- unified per-algorithm emission tables ----
+# Each algorithm is a list of corner GROUPS; a group's sign bits form
+# the case index into its (VTX_A, VTX_B, VALID) tables, each holding up
+# to S triangles of local cell-corner pairs.
+from .mc_tables import MC_EDGES, MC_CASE_TRIS, MC_MAX_TRIS
+
+_VTX_A_MC = np.zeros((1, MC_MAX_TRIS, 3, 256), np.int32)
+_VTX_B_MC = np.zeros((1, MC_MAX_TRIS, 3, 256), np.int32)
+_TRI_VALID_MC = np.zeros((1, MC_MAX_TRIS, 256), bool)
+for _case in range(256):
+    for _s in range(MC_MAX_TRIS):
+        _tri = MC_CASE_TRIS[_case, _s]
+        if _tri[0] < 0:
+            continue
+        _TRI_VALID_MC[0, _s, _case] = True
+        for _v in range(3):
+            _a, _b = MC_EDGES[_tri[_v]]
+            _VTX_A_MC[0, _s, _v, _case] = _a
+            _VTX_B_MC[0, _s, _v, _case] = _b
+
+_ALGOS = {
+    "tets": dict(groups=[tuple(t) for t in _TETS], n_cases=16,
+                 va=_VTX_A, vb=_VTX_B, valid=_TRI_VALID,
+                 tris_per_cell=12,
+                 slot_allowed=np.ones(N_SLOTS, bool)),
+    "cubes": dict(groups=[tuple(range(8))], n_cases=256,
+                  va=_VTX_A_MC, vb=_VTX_B_MC, valid=_TRI_VALID_MC,
+                  tris_per_cell=MC_MAX_TRIS,
+                  # only unit-delta (axis edge) slots carry vertices
+                  slot_allowed=(_SLOT_DELTA.sum(axis=1) == 1)),
+}
+
 
 # ---- kernel -------------------------------------------------------------
 
@@ -148,15 +180,18 @@ def _compact_capped(flags_flat: jnp.ndarray, cap: int):
 
 
 def _emit_cells(vol_flat, cell_gids, cell_valid, rank_lat, level,
-                dims: Tuple[int, int, int]):
+                dims: Tuple[int, int, int], algo: str = "tets"):
     """Per-chunk triangle emission, fully 1-D.
 
     cell_gids [K] flat base-corner ids (garbage where ~cell_valid).
-    Returns (vid0, vid1, vid2 — each [12K] — and valid [12K]), ordered
-    tet-major then cell. Only face VERTEX IDS are emitted: a canonical
-    edge carries a vertex iff its endpoints straddle the level, so
-    presence and the interpolation parameter are recomputed directly
-    from the volume in the finalize pass — no weld scatters here.
+    Returns (vid0, vid1, vid2, valid — each [tris_per_cell * K]),
+    group-major then cell. Only face VERTEX IDS are emitted: a
+    canonical edge carries a vertex iff its endpoints straddle the
+    level, so presence and the interpolation parameter are recomputed
+    directly from the volume in the finalize pass — no weld scatters.
+    ``algo`` selects the tessellation tables: 'tets' (6-tet marching
+    tetrahedra, exact vs tetra.py) or 'cubes' (classic marching cubes,
+    ~3x fewer triangles, mc_tables.py).
     """
     X, Y, Z = dims
     K = cell_gids.shape[0]
@@ -175,18 +210,18 @@ def _emit_cells(vol_flat, cell_gids, cell_valid, rank_lat, level,
     val8 = vol_flat[gid8]                                  # [K, 8]
     in8 = (val8 > level).astype(jnp.int32)
 
+    spec = _ALGOS[algo]
     lut = jnp.asarray(_SLOT_LUT)
     vids, valids = [[], [], []], []
-    for t_i in range(6):
-        tet = _TETS[t_i]
-        case = (in8[:, tet[0]] + 2 * in8[:, tet[1]]
-                + 4 * in8[:, tet[2]] + 8 * in8[:, tet[3]])  # [K]
-        for s_i in range(2):
-            valids.append(jnp.asarray(_TRI_VALID[t_i, s_i])[case]
+    for g_i, corners in enumerate(spec["groups"]):
+        case = sum(in8[:, c] << j for j, c in enumerate(corners))  # [K]
+        n_slots = spec["va"].shape[1]
+        for s_i in range(n_slots):
+            valids.append(jnp.asarray(spec["valid"][g_i, s_i])[case]
                           & cell_valid)
             for v_i in range(3):
-                ca = jnp.asarray(_VTX_A[t_i, s_i, v_i])[case]   # [K]
-                cb = jnp.asarray(_VTX_B[t_i, s_i, v_i])[case]
+                ca = jnp.asarray(spec["va"][g_i, s_i, v_i])[case]  # [K]
+                cb = jnp.asarray(spec["vb"][g_i, s_i, v_i])[case]
                 cax = bx + offx[ca]
                 cay = by + offy[ca]
                 caz = bz + offz[ca]
@@ -208,15 +243,15 @@ def _emit_cells(vol_flat, cell_gids, cell_valid, rank_lat, level,
                 ogid = (owx * Y + owy) * Z + owz
                 rank = rank_lat[ogid]
                 vids[v_i].append(rank * N_SLOTS + slot)
-    valid = jnp.concatenate(valids)                        # [12K]
+    valid = jnp.concatenate(valids)               # [tris_per_cell * K]
     out = [jnp.concatenate(vids[v]) for v in range(3)]
     return (*out, valid)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "dims", "max_cells", "max_tris", "max_verts", "cell_chunk"))
+    "dims", "max_cells", "max_tris", "max_verts", "cell_chunk", "algo"))
 def _march_core(vol_flat, level, dims, max_cells: int, max_tris: int,
-                max_verts: int, cell_chunk: int):
+                max_verts: int, cell_chunk: int, algo: str = "tets"):
     X, Y, Z = dims
     XYZ = X * Y * Z
     level = jnp.float32(level)
@@ -242,7 +277,7 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_tris: int,
         cell_valid = idx < na
         gids = compact[jnp.minimum(idx, max_cells)]
         v0, v1, v2, valid = _emit_cells(
-            vol_flat, gids, cell_valid, rank_lat, level, dims)
+            vol_flat, gids, cell_valid, rank_lat, level, dims, algo)
         # compact this chunk's triangles into the global buffers
         pos = n_tris + jnp.cumsum(valid.astype(jnp.int32)) - 1
         ftgt = jnp.where(valid & (pos < max_tris), pos, max_tris)
@@ -284,6 +319,12 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_tris: int,
               & ((offq[1] == 0) | (by == Y - 2))
               & ((offq[2] == 0) | (bz == Z - 2)))
     present = (in_lo != in_hi) & own_ok & (rank_all < na)
+    # the tessellation may only reference a subset of the 19 canonical
+    # edge slots (marching cubes: axis edges only) — mask the rest so
+    # no unreferenced vertices are emitted
+    allowed = _ALGOS[algo]["slot_allowed"]
+    if not allowed.all():
+        present = present & jnp.asarray(allowed)[slot_all]
     denom = v_hi - v_lo
     denom = jnp.where(jnp.abs(denom) < 1e-12, jnp.float32(1e-12), denom)
     tq = jnp.clip((level - v_lo) / denom, 0.0, 1.0)
@@ -341,7 +382,8 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
                                      max_cells: int = 1 << 21,
                                      max_tris: int = 6 << 20,
                                      max_verts: int = 2 << 20,
-                                     cell_chunk: int = 1 << 16):
+                                     cell_chunk: int = 1 << 16,
+                                     algorithm: str = "tets"):
     """Start a device extraction; returns ``finish() -> (verts, faces)``.
 
     The device->host copies are started asynchronously, so the caller
@@ -358,7 +400,8 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
                          "max_verts must be <= 2^21")
     vol = jnp.asarray(volume, jnp.float32)
     X, Y, Z = vol.shape
-    bkey = (X, Y, Z, max_cells)
+    tpc = _ALGOS[algorithm]["tris_per_cell"]
+    bkey = (X, Y, Z, max_cells, algorithm)
     bucket = _LAST_CELL_BUCKET.get(bkey)
     if bucket is None:
         nc0 = int(jax.device_get(_count_cells(vol.reshape(-1),
@@ -371,12 +414,13 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
 
     def run(bucket):
         mc = min(max_cells, bucket)
-        # a cell emits <= 12 triangles, so face/vertex buffers shrink
-        # to the cell bucket too (finalize is linear in these caps)
-        mt = min(max_tris, 12 * mc)
+        # a cell emits <= tris_per_cell triangles, so face/vertex
+        # buffers shrink to the cell bucket too (finalize is linear in
+        # these caps)
+        mt = min(max_tris, tpc * mc)
         mv = min(max_verts, N_SLOTS * mc)
         out = _march_core(vol.reshape(-1), float(level), (X, Y, Z),
-                          mc, mt, mv, cell_chunk)
+                          mc, mt, mv, cell_chunk, algorithm)
         counts = tuple(map(int, jax.device_get(out[5:9])))
         return out, mc, mt, mv, counts
 
@@ -389,7 +433,7 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
                 f"marching_tetrahedra_device capacity exceeded: cells "
                 f"{nc}/{max_cells}, tris {nt}/{max_tris}, verts "
                 f"{nv}/{max_verts}")
-        need = max(nc, -(-nt // 12), -(-nv // N_SLOTS))
+        need = max(nc, -(-nt // tpc), -(-nv // N_SLOTS))
         bucket = min(max_cells, _bucket(need, 1 << 15))
         out, mc, mt, mv, (nv, nf, nc, nt) = run(bucket)
         if nc > mc or nt > mt or nv > mv:
@@ -438,7 +482,8 @@ def marching_tetrahedra_device(volume, level: float = 0.5,
                                max_cells: int = 1 << 21,
                                max_tris: int = 6 << 20,
                                max_verts: int = 2 << 20,
-                               cell_chunk: int = 1 << 16
+                               cell_chunk: int = 1 << 16,
+                               algorithm: str = "tets"
                                ) -> Tuple[np.ndarray, np.ndarray]:
     """Device marching tetrahedra; same mesh as tetra.marching_tetrahedra.
 
@@ -453,4 +498,14 @@ def marching_tetrahedra_device(volume, level: float = 0.5,
     finalize pass touches ~19 x cells slots, not 19 x the worst case.
     """
     return marching_tetrahedra_device_begin(
-        volume, level, max_cells, max_tris, max_verts, cell_chunk)()
+        volume, level, max_cells, max_tris, max_verts, cell_chunk,
+        algorithm)()
+
+
+def marching_cubes_device(volume, level: float = 0.5, **kw
+                          ) -> Tuple[np.ndarray, np.ndarray]:
+    """Classic marching cubes on device (constructed table,
+    mc_tables.py): ~3x fewer triangles than marching tetrahedra for the
+    same isosurface — the reference's skimage tessellation density."""
+    return marching_tetrahedra_device(volume, level, algorithm="cubes",
+                                      **kw)
