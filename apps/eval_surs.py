@@ -19,7 +19,8 @@ sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
 def main():
     import jax
     import jax.numpy as jnp
-    from surs_tpu.config import parse_config, print_config
+    from surs_tpu.config import (parse_config, print_config,
+                                 resolve_backend_defaults)
     from surs_tpu.data import EvalDataset
     from surs_tpu.models import surs_net_from_config
     from surs_tpu.ops.fused_mlp import prepare_fused_weights
@@ -27,7 +28,10 @@ def main():
     from surs_tpu.recon.pipeline import _get_reconstructor
     from surs_tpu.compat.torch_import import load_params
 
-    cfg = parse_config()
+    # pin the 'auto' performance knobs for the live backend: a stock TPU
+    # run takes the fast paths (bf16 packed features, mono octree,
+    # device marching cubes) — the flags are opt-outs
+    cfg = resolve_backend_defaults(parse_config())
     print(print_config(cfg))
 
     dataset = EvalDataset(cfg, phase="test")

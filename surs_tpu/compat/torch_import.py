@@ -113,9 +113,27 @@ def _convblock_path(parts) -> Tuple[str, ...]:
     return (head,)
 
 
+# Placeholder norm-submodule path element; resolved against the TARGET
+# tree at assign time (models/layers.Norm builds exactly one of 'gn'
+# (group, the reference default, lib/options.py:70) or 'bn' (batch)).
+_NORM_DIR = "<norm>"
+
+
 def _norm_leaf_dir(parts) -> str:
-    """Norm layers live under 'gn' (group) or 'bn' (batch) submodules."""
-    return "gn"  # group norm is the operative config (lib/options.py:70)
+    """Norm layers live under 'gn' (group) or 'bn' (batch) submodules;
+    which one exists depends on the live model's --norm, so the choice is
+    deferred to assign time (see ``_resolve_norm_dir``)."""
+    return _NORM_DIR
+
+
+def _resolve_norm_dir(node, path, strict: bool):
+    """Pick the norm submodule name actually present in ``node``."""
+    for name in ("gn", "bn"):
+        if name in node:
+            return name
+    if strict:
+        raise KeyError(f"no norm submodule (gn/bn) at {'/'.join(path)}")
+    return None
 
 
 def _convert_leaf(torch_key: str, tensor: np.ndarray):
@@ -138,9 +156,19 @@ def _convert_leaf(torch_key: str, tensor: np.ndarray):
 
 
 def import_torch_state_dict(state_dict: Dict[str, np.ndarray],
-                            params, strict: bool = True):
+                            params, strict: bool = True,
+                            batch_stats=None):
     """Merge a reference state dict into a Flax param tree (returns a new
-    tree). ``state_dict`` values may be torch tensors or numpy arrays."""
+    tree). ``state_dict`` values may be torch tensors or numpy arrays.
+
+    Norm submodule names are resolved against the target tree ('gn' for
+    group norm, 'bn' for batch), so checkpoints trained with either
+    --norm import into a matching model. A batch-norm checkpoint also
+    carries running_mean/running_var, which live in Flax's batch_stats
+    collection — pass that tree via ``batch_stats`` to receive them
+    (return becomes ``(params, batch_stats, n)``); without it, running
+    stats in the checkpoint raise a clear error instead of being dropped.
+    """
     flat = {}
     for key, val in state_dict.items():
         # dead bn4s (every live ConvBlock at the SuRS config is 256->256)
@@ -158,15 +186,21 @@ def import_torch_state_dict(state_dict: Dict[str, np.ndarray],
 
     def assign(tree, path, value):
         node = tree
+        walked = []
         for p in path[:-1]:
+            if p == _NORM_DIR:
+                p = _resolve_norm_dir(node, path, strict)
+                if p is None:
+                    return False
+            walked.append(p)
             if p not in node:
                 if strict:
-                    raise KeyError(f"no module {'/'.join(path)} in params")
+                    raise KeyError(f"no module {'/'.join(walked)} in tree")
                 return False
             node = node[p]
         if path[-1] not in node:
             if strict:
-                raise KeyError(f"no leaf {'/'.join(path)} in params")
+                raise KeyError(f"no leaf {'/'.join(path)} in tree")
             return False
         expected = node[path[-1]]
         if expected.shape != value.shape:
@@ -179,18 +213,34 @@ def import_torch_state_dict(state_dict: Dict[str, np.ndarray],
     import copy
     import flax
     mutable = copy.deepcopy(flax.core.unfreeze(params))
+    stats_mutable = None if batch_stats is None \
+        else copy.deepcopy(flax.core.unfreeze(batch_stats))
     n = 0
     for path, val in flat.items():
-        if assign(mutable, path, val):
+        if path[-1] in ("mean", "var"):
+            if stats_mutable is None:
+                raise ValueError(
+                    f"checkpoint carries batch-norm running stats "
+                    f"({'/'.join(p for p in path if p != _NORM_DIR)}) — "
+                    f"pass the model's batch_stats tree via the "
+                    f"batch_stats argument to import them (Flax keeps "
+                    f"them outside 'params')")
+            if assign(stats_mutable, path, val):
+                n += 1
+        elif assign(mutable, path, val):
             n += 1
+    if stats_mutable is not None:
+        return mutable, stats_mutable, n
     return mutable, n
 
 
-def load_torch_checkpoint(path: str, params, strict: bool = True):
+def load_torch_checkpoint(path: str, params, strict: bool = True,
+                          batch_stats=None):
     """Load a torch.save()'d state dict file and merge it."""
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
-    return import_torch_state_dict(sd, params, strict=strict)
+    return import_torch_state_dict(sd, params, strict=strict,
+                                   batch_stats=batch_stats)
 
 
 def load_params(cfg, model):

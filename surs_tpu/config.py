@@ -143,28 +143,38 @@ class SuRSConfig:
     aug_blur: float = 0.0
 
     # ---- TPU-native knobs (new) ----
+    # The performance knobs default to 'auto': resolved per backend at
+    # CLI/service entry (resolve_backend_defaults) so a stock run takes
+    # the fast paths on TPU and the simple host paths on CPU. Explicit
+    # values always win (the flags are opt-OUTs).
     dtype: str = "float32"          # compute dtype for conv trunks
-    feature_dtype: str = "float32"  # storage dtype of pixel-aligned
-                                    # feature maps at inference
-                                    # ('bfloat16' halves gather traffic)
+    feature_dtype: str = "auto"     # storage dtype of pixel-aligned
+                                    # feature maps at inference; auto ->
+                                    # bfloat16 on TPU (halves gather
+                                    # traffic), float32 on CPU
     mesh_axis_data: str = "data"    # device-mesh axis for batch sharding
     mesh_axis_points: str = "points"  # device-mesh axis for query sharding
     use_pallas: bool = True         # fused Pallas point-query MLP
     fused_train: bool = False       # train step queries via the Pallas
                                     # kernel (custom_vjp backward)
     mask_prune: bool = False        # visual-hull octree pre-pruning
-    feature_pack: bool = False      # pack_bilinear'd single-gather
-                                    # sampling (fused query path only)
-    mc_backend: str = "host"        # isosurface extraction: 'host',
-                                    # 'device' (TPU marching tets), or
-                                    # 'auto' (device w/ host fallback)
-    mc_algorithm: str = "tets"      # device extractor tessellation:
-                                    # tets (exact MT) | cubes (~3x
-                                    # fewer tris, classic MC table)
-    octree_mode: str = "hostloop"   # eval CLI / gen_mesh evaluator:
-                                    # hostloop | fused | mono
-    serve_octree_mode: str = "hostloop"  # SuRSService evaluator:
-                                    # 'hostloop' | 'fused' | 'mono'
+    feature_pack: bool = True       # pack_bilinear'd single-gather
+                                    # sampling (fused query path only;
+                                    # inert off the Pallas/TPU path)
+    mc_backend: str = "auto"        # isosurface extraction: 'host',
+                                    # 'device' (TPU marching tets/cubes),
+                                    # or 'auto' (device w/ host fallback
+                                    # on TPU, host on CPU)
+    mc_algorithm: str = "auto"      # device extractor tessellation:
+                                    # tets (exact MT) | cubes (~3x fewer
+                                    # tris, classic MC table); auto ->
+                                    # cubes on TPU, tets on CPU
+    octree_mode: str = "auto"       # eval CLI / gen_mesh evaluator:
+                                    # hostloop | fused | mono; auto ->
+                                    # mono (one program) on TPU,
+                                    # hostloop on CPU
+    serve_octree_mode: str = "auto"  # SuRSService evaluator: same
+                                    # choices/auto rule as octree_mode
     octree_init_resolution: int = 64
     use_octree: bool = True
     profile_dir: Optional[str] = None
@@ -187,6 +197,47 @@ _BOOL_FIELDS = {
     f.name for f in dataclasses.fields(SuRSConfig) if f.type == "bool"
 }
 
+# backend-resolved values for the 'auto' performance knobs. On TPU,
+# mc_backend stays 'auto' — extract_pair's device-with-host-fallback
+# semantic (recon/pipeline.py) is the production-safe choice (noise-like
+# fields can overflow the device extractor's capacity).
+_AUTO_TPU = {"feature_dtype": "bfloat16", "octree_mode": "mono",
+             "serve_octree_mode": "mono", "mc_backend": "auto",
+             "mc_algorithm": "cubes"}
+_AUTO_CPU = {"feature_dtype": "float32", "octree_mode": "hostloop",
+             "serve_octree_mode": "hostloop", "mc_backend": "host",
+             "mc_algorithm": "tets"}
+
+
+def resolve_auto(name: str, value: str, backend: Optional[str] = None
+                 ) -> str:
+    """Resolve one 'auto' knob for ``backend`` (default: the live JAX
+    backend). Non-'auto' values pass through untouched."""
+    if value != "auto" or name not in _AUTO_TPU:
+        return value
+    if backend is None:
+        import jax
+        backend = jax.default_backend()
+    return (_AUTO_CPU if backend == "cpu" else _AUTO_TPU)[name]
+
+
+def resolve_backend_defaults(cfg, backend: Optional[str] = None):
+    """Return ``cfg`` with every 'auto' performance knob pinned for the
+    active backend — a stock TPU run gets bf16 packed features, the mono
+    octree evaluator and device marching cubes; CPU gets the host paths.
+    Works on SuRSConfig (returns a new instance) or any duck-typed cfg
+    (mutated in place)."""
+    if backend is None:
+        import jax
+        backend = jax.default_backend()
+    upd = {name: resolve_auto(name, getattr(cfg, name, "auto"), backend)
+           for name in _AUTO_TPU}
+    if dataclasses.is_dataclass(cfg):
+        return dataclasses.replace(cfg, **upd)
+    for name, val in upd.items():
+        setattr(cfg, name, val)
+    return cfg
+
 
 def build_parser() -> argparse.ArgumentParser:
     """argparse parser exposing every config field as ``--name``.
@@ -202,6 +253,9 @@ def build_parser() -> argparse.ArgumentParser:
         default = getattr(defaults, f.name)
         if f.name in _BOOL_FIELDS:
             p.add_argument(name, action="store_true", default=default)
+            if default:   # default-True bools get an opt-OUT flag
+                p.add_argument("--no_" + f.name, dest=f.name,
+                               action="store_false")
         elif isinstance(default, list):
             elem = type(default[0]) if default else str
             p.add_argument(name, nargs="+", type=elem, default=default)

@@ -258,10 +258,13 @@ class Reconstructor:
         path_lr = save_path[:-4] + "_LR.obj"
         paths = [path_hr, path_lr]
         # streamed: the HR OBJ write overlaps the LR mesh's transfer
-        mc_caps = {"algorithm": getattr(cfg, "mc_algorithm", "tets")}
+        from ..config import resolve_auto
+        mc_caps = {"algorithm": resolve_auto(
+            "mc_algorithm", getattr(cfg, "mc_algorithm", "tets"))}
         for path, (verts, faces) in zip(paths, self.extract_pair(
                 sdf_hr, sdf_lr, mat,
-                mc_backend=getattr(cfg, "mc_backend", "host"),
+                mc_backend=resolve_auto(
+                    "mc_backend", getattr(cfg, "mc_backend", "host")),
                 mc_caps=mc_caps)):
             save_obj_mesh(path, verts, faces)
         return path_hr, path_lr
@@ -308,15 +311,18 @@ def gen_mesh(cfg, model: SuRSNet, params, data: dict, save_path: str,
              use_octree: bool = True, query_fn: Optional[Callable] = None,
              query_weights=None) -> Tuple[str, str]:
     """Reference-shaped one-shot API; prefer Reconstructor for loops."""
-    fdt = jnp.bfloat16 \
-        if getattr(cfg, "feature_dtype", "float32") == "bfloat16" else None
+    from ..config import resolve_auto
+    fdt_name = resolve_auto("feature_dtype",
+                            getattr(cfg, "feature_dtype", "float32"))
+    fdt = jnp.bfloat16 if fdt_name == "bfloat16" else None
     # feature_pack requires a query_fn built with packed=True and
     # base_split-prepared weights (apps/eval_surs.py wires all three)
     rec = _get_reconstructor(
         model, query_fn, feature_dtype=fdt,
         feature_pack=bool(getattr(cfg, "feature_pack", False)
                           and query_fn is not None),
-        octree_mode=getattr(cfg, "octree_mode", "hostloop"))
+        octree_mode=resolve_auto(
+            "octree_mode", getattr(cfg, "octree_mode", "hostloop")))
     weights = query_weights if query_weights is not None else params
     return rec.gen_mesh(cfg, params, weights, data, save_path, use_octree)
 

@@ -56,6 +56,8 @@ class SuRSService:
                  compilation_cache: bool = True):
         if compilation_cache:
             enable_compilation_cache()
+        from .config import resolve_backend_defaults
+        cfg = resolve_backend_defaults(cfg)
         self.cfg = cfg
         self.model = surs_net_from_config(cfg)
         self.params = params if params is not None \

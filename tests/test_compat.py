@@ -86,6 +86,57 @@ def test_dead_reference_weights_dropped():
     assert n == 0  # everything dropped, nothing raised
 
 
+def test_batchnorm_checkpoint_imports_into_batch_model():
+    """A --norm batch checkpoint resolves norm leaves to the 'bn'
+    submodule and lands running stats in batch_stats."""
+    net = SuRSNet(load_size=32, num_stack_lr=2, norm="batch")
+    rng = np.random.default_rng(0)
+    S = 16
+    args = (
+        jnp.asarray(rng.standard_normal((1, S, S, 3)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((1, 2 * S, 2 * S, 3)).astype(
+            np.float32)),
+        jnp.asarray((rng.random((1, 3, 4)) - 0.5).astype(np.float32)),
+        jnp.asarray((rng.random((1, 3, 4)) - 0.5).astype(np.float32)),
+        jnp.asarray(np.diag([2.0, -2.0, 2.0, 1.0]).astype(
+            np.float32))[None],
+    )
+    variables = net.init(jax.random.PRNGKey(0), *args, train=True)
+    params, stats = variables["params"], variables["batch_stats"]
+    bn = params["image_filter_lr"]["m0"]["b1_2"]["bn1"]["bn"]
+    C = np.asarray(bn["scale"]).shape[0]
+    sd = {
+        "image_filter_lr.m0.b1_2.bn1.weight": np.full(C, 2.0, np.float32),
+        "image_filter_lr.m0.b1_2.bn1.bias": np.full(C, 0.5, np.float32),
+        "image_filter_lr.m0.b1_2.bn1.running_mean": np.full(C, 3.0,
+                                                            np.float32),
+        "image_filter_lr.m0.b1_2.bn1.running_var": np.full(C, 4.0,
+                                                           np.float32),
+        "image_filter_lr.m0.b1_2.bn1.num_batches_tracked": np.asarray(7),
+    }
+    new_params, new_stats, n = import_torch_state_dict(
+        sd, params, strict=False, batch_stats=stats)
+    assert n == 4
+    got = new_params["image_filter_lr"]["m0"]["b1_2"]["bn1"]["bn"]
+    np.testing.assert_array_equal(np.asarray(got["scale"]),
+                                  np.full(C, 2.0, np.float32))
+    got_s = new_stats["image_filter_lr"]["m0"]["b1_2"]["bn1"]["bn"]
+    np.testing.assert_array_equal(np.asarray(got_s["mean"]),
+                                  np.full(C, 3.0, np.float32))
+    np.testing.assert_array_equal(np.asarray(got_s["var"]),
+                                  np.full(C, 4.0, np.float32))
+
+
+def test_batchnorm_stats_without_tree_raise_clearly():
+    """Running stats with no batch_stats tree must raise, not vanish."""
+    import pytest
+    net, params = init_tiny_params()  # group-norm model
+    sd = {"image_filter_lr.m0.b1_2.bn1.running_mean":
+          np.zeros(8, np.float32)}
+    with pytest.raises(ValueError, match="batch_stats"):
+        import_torch_state_dict(sd, params, strict=False)
+
+
 def test_resblock_and_tail_mapping():
     net, params = init_tiny_params()
     # SuRSNet default has residual=False; use SR net with residual=True

@@ -21,6 +21,30 @@ def test_chamfer_scales_with_offset():
     assert 0.05 < d_near < d_far
 
 
+def test_normal_error_zero_for_identical_mesh():
+    from surs_tpu.utils.metrics import projected_normal_error
+    mesh = cube_mesh(half=0.4)
+    l2, cos = projected_normal_error(mesh, mesh, res=64)
+    assert l2 < 1e-5
+    assert cos > 0.999
+
+
+def test_normal_error_detects_rotation():
+    """A rotated copy has matching silhouette coverage but rotated
+    normals — l2 grows, cosine drops below the identical-mesh value."""
+    from surs_tpu.utils.metrics import projected_normal_error
+    a = cube_mesh(half=0.4)
+    th = np.deg2rad(30.0)
+    R = np.array([[np.cos(th), 0, np.sin(th)],
+                  [0, 1, 0],
+                  [-np.sin(th), 0, np.cos(th)]], np.float32)
+    b = cube_mesh(half=0.4)
+    b.verts = b.verts @ R.T
+    l2, cos = projected_normal_error(a, b, res=64)
+    assert l2 > 0.2
+    assert cos < 0.98  # identical meshes score > 0.999
+
+
 def test_point_to_surface_zero_on_surface():
     mesh = cube_mesh(half=1.0)
     pts = np.array([[1.0, 0.0, 0.0], [0.0, -1.0, 0.3]], np.float32)

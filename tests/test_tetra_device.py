@@ -114,6 +114,80 @@ def test_marching_cubes_device_matches_host():
     assert_same_mesh(vh, fh, vd, fd)
 
 
+def _plane_contour_segments(verts, faces, axis, coord):
+    """Boundary contour segments of a mesh lying in the plane
+    {p[axis] == coord}: triangle edges with both endpoints on the plane
+    and multiplicity 1 (fan-triangulation chords in the plane appear
+    twice; true open-boundary contour segments once)."""
+    from collections import Counter
+    q = np.rint(np.asarray(verts, np.float64) * 4096.0).astype(np.int64)
+    on = np.abs(np.asarray(verts)[:, axis] - coord) < 1e-6
+    cnt = Counter()
+    for f in np.asarray(faces):
+        for a, b in ((f[0], f[1]), (f[1], f[2]), (f[2], f[0])):
+            if on[a] and on[b]:
+                cnt[frozenset((tuple(q[a]), tuple(q[b])))] += 1
+    return {e for e, c in cnt.items() if c == 1}
+
+
+def test_mc_ambiguous_face_rule_pinned():
+    """The 4-crossing (diagonal-sign) ambiguous face: two adjacent cells
+    evaluated INDEPENDENTLY must produce the identical contour on the
+    shared face (crack-freeness), and that contour must follow the fixed
+    'connect around positive corners' rule (mc_tables.py:76-84) — each
+    segment joins the two face-edge midpoints flanking one positive
+    corner. Pinned for both diagonals across varied outer corners, and
+    device == host on the two-cell volume."""
+    from surs_tpu.recon.mc_tables import marching_cubes_classic
+    from surs_tpu.recon.tetra_device import marching_cubes_device
+
+    # face coords (y, z); midpoints of the 4 face edges adjacent to
+    # each corner
+    adj_mid = {(0, 0): ((0.5, 0.0), (0.0, 0.5)),
+               (1, 0): ((0.5, 0.0), (1.0, 0.5)),
+               (1, 1): ((1.0, 0.5), (0.5, 1.0)),
+               (0, 1): ((0.5, 1.0), (0.0, 0.5))}
+    rng = np.random.default_rng(3)
+    for diag in (((0, 0), (1, 1)), ((0, 1), (1, 0))):
+        for trial in range(8):
+            vol = np.zeros((3, 2, 2), np.float32)
+            for (y, z) in diag:
+                vol[1, y, z] = 1.0          # shared face: diagonal signs
+            vol[0] = rng.integers(0, 2, (2, 2)).astype(np.float32)
+            vol[2] = rng.integers(0, 2, (2, 2)).astype(np.float32)
+
+            cell_a, cell_b = vol[0:2], vol[1:3]
+            va, fa = marching_cubes_classic(cell_a, 0.5)
+            vb, fb = marching_cubes_classic(cell_b, 0.5)
+            segs_a = _plane_contour_segments(va, fa, 0, 1.0)
+            # cell B's local x=0 plane is the same world plane; shift
+            # its x by +1 for comparable keys
+            vb_shift = np.asarray(vb).copy()
+            vb_shift[:, 0] += 1.0
+            segs_b = _plane_contour_segments(vb_shift, fb, 0, 1.0)
+            assert segs_a == segs_b, (diag, trial)   # crack-free
+
+            # values 0/1 at level 0.5 put face vertices exactly at edge
+            # midpoints: the rule's segments are the midpoint pairs
+            # around each positive corner
+            expect = set()
+            for c in diag:
+                (my1, mz1), (my2, mz2) = adj_mid[c]
+                k1 = tuple(np.rint(np.array([1.0, my1, mz1]) * 4096.0)
+                           .astype(np.int64))
+                k2 = tuple(np.rint(np.array([1.0, my2, mz2]) * 4096.0)
+                           .astype(np.int64))
+                expect.add(frozenset((k1, k2)))
+            assert segs_a == expect, (diag, trial)
+
+            # device extractor agrees on the full two-cell volume
+            vh, fh = marching_cubes_classic(vol, 0.5)
+            vd, fd = marching_cubes_device(
+                vol, 0.5, max_cells=64, max_tris=256, max_verts=256,
+                cell_chunk=64)
+            assert_same_mesh(vh, fh, vd, fd)
+
+
 def test_marching_cubes_density_and_watertightness():
     """~3x fewer triangles than marching tets for the same surface;
     closed fields produce watertight 2-manifold meshes with the same
