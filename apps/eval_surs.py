@@ -41,25 +41,37 @@ def main():
     params = load_params(cfg, model)
 
     query_fn = None
-    fw = None
+    fw = cols_w = None
     pack = bool(getattr(cfg, "feature_pack", False))
+    fdt = jnp.bfloat16 \
+        if getattr(cfg, "feature_dtype", "float32") == "bfloat16" else None
+    kdt = jnp.bfloat16 if fdt is not None else jnp.float32
     if cfg.use_pallas and jax.default_backend() != "cpu":
         base_split = (cfg.hg_dim, cfg.mlp_dim_lr[0] - cfg.hg_dim) \
             if pack else None
         fw = prepare_fused_weights(
             params["mlp_lr"], params["mlp_hr"], cfg.mlp_dim_lr,
             cfg.mlp_dim_hr, cfg.mlp_res_layers_lr, cfg.mlp_res_layers_hr,
-            base_split=base_split)
+            dtype=kdt, base_split=base_split)
         query_fn = make_fused_query_fn(cfg.loadSize, cfg.z_size,
                                        packed=pack)
+        if not cfg.use_octree:
+            # --no_use_octree: dense evaluation takes the column-shared
+            # kernel whenever the calib is axis-aligned (recon/
+            # evaluator.eval_grid_dense_cols, ~3.8x fewer MACs/query)
+            cols_w = prepare_fused_weights(
+                params["mlp_lr"], params["mlp_hr"], cfg.mlp_dim_lr,
+                cfg.mlp_dim_hr, cfg.mlp_res_layers_lr,
+                cfg.mlp_res_layers_hr, dtype=kdt,
+                base_split=(cfg.hg_dim,
+                            cfg.mlp_dim_lr[0] - cfg.hg_dim - 1, 1))
     else:
         pack = False
 
-    fdt = jnp.bfloat16 \
-        if getattr(cfg, "feature_dtype", "float32") == "bfloat16" else None
     rec = _get_reconstructor(
         model, query_fn, feature_dtype=fdt, feature_pack=pack,
-        octree_mode=getattr(cfg, "octree_mode", "hostloop"))
+        octree_mode=getattr(cfg, "octree_mode", "hostloop"),
+        cols_weights=cols_w, load_size=cfg.loadSize, z_size=cfg.z_size)
     weights = fw if fw is not None else params
 
     # optional color branch (netC): --with_color +

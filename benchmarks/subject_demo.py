@@ -12,6 +12,8 @@ ground-truth mesh — the closest provable proxy to reference parity
 until a shipped checkpoint/dataset exists (reference operating point:
 README.md:38, lib/options.py:55).
 """
+import json
+import subprocess
 import tempfile
 import numpy as np, jax, jax.numpy as jnp
 from surs_tpu.utils.cache import enable_compilation_cache
@@ -175,6 +177,16 @@ sil = jnp.asarray(item["mask_LR"])
 kw = dict(num_samples=cfg.num_samples, threshold=cfg.threshold,
           init_resolution=cfg.octree_init_resolution)
 
+record = {"source": "benchmarks/subject_demo.py", "resolution": RES,
+          "train_iters": ITERS_TRAIN, "backend": jax.default_backend()}
+try:
+    record["git_commit"] = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+        text=True, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))).stdout.strip()
+except Exception:
+    pass
+
 for use_sil in (False, True):
     stats = {}
     silh = sil if use_sil else None
@@ -195,6 +207,35 @@ for use_sil in (False, True):
     print(f"{RES}^3 eval (mask_prune={use_sil}): first {t_first:.1f}s, "
           f"steady {t_eval:.2f}s, queries {stats.get('queries', 0)}",
           flush=True)
+    tag = "_mask_prune" if use_sil else ""
+    record[f"eval_sec{tag}"] = round(t_eval, 3)
+    record[f"queries{tag}"] = int(stats.get("queries", 0))
+
+# ---- the headline: ONE measured gen_mesh wall call (mono octree +
+# packed bf16 + device cubes + native OBJ, extract/write overlap live)
+if ON_TPU:
+    rec_m = Reconstructor(model, query_fn=qf, octree_mode="mono",
+                          feature_dtype=jnp.bfloat16, feature_pack=True)
+else:
+    rec_m = rec
+gen_cfg = cfg
+data_gm = {"img_LR": np.asarray(item["img_LR"][None]),
+           "mask_LR": np.asarray(item["mask_LR"]),
+           "calib": np.asarray(item["calib"]),
+           "b_min": np.asarray(item["b_min"]),
+           "b_max": np.asarray(item["b_max"])}
+with tempfile.TemporaryDirectory() as td:
+    p = os.path.join(td, "subject.obj")
+    rec_m.gen_mesh(gen_cfg, state.params, weights, data_gm, p)   # warm
+    t_gm = 1e30
+    for _ in range(2):
+        t0 = time.time()
+        rec_m.gen_mesh(gen_cfg, state.params, weights, data_gm, p)
+        t_gm = min(t_gm, time.time() - t0)
+print(f"gen_mesh single wall call: {t_gm:.2f}s (mask_prune, "
+      f"{'mono octree + device MC' if ON_TPU else 'host paths'})",
+      flush=True)
+record["gen_mesh_wall_sec"] = round(t_gm, 3)
 
 # mesh extraction (device MC on TPU) + OBJ write, timed
 if ON_TPU:
@@ -218,11 +259,33 @@ print(f"sec/mesh = {t_mesh:.2f} (eval {t_eval:.2f} + 2x(mc {t_mc:.2f} "
       f"+ obj {t_obj:.2f})); {faces.shape[0]} faces", flush=True)
 
 if verts.shape[0] > 10:
-    ch, ab, ba = chamfer_distance(mesh_hr,
-                                  MeshData(verts.astype(np.float32),
-                                           faces), n_samples=4000)
+    from surs_tpu.utils.metrics import (point_to_surface,
+                                        projected_normal_error)
+    rec_mesh = MeshData(verts.astype(np.float32), faces)
+    ch, ab, ba = chamfer_distance(mesh_hr, rec_mesh, n_samples=4000)
+    p2s = point_to_surface(np.asarray(rec_mesh.verts[
+        np.random.default_rng(0).choice(
+            rec_mesh.verts.shape[0], min(4000, rec_mesh.verts.shape[0]),
+            replace=False)]), mesh_hr, n_surface=50000)
+    n_l2, n_cos = projected_normal_error(
+        rec_mesh, mesh_hr, calib=np.asarray(item["calib"])[0],
+        res=min(RES, 512))
     print(f"chamfer vs GT humanoid: {ch:.4f} (gt->rec {ab:.4f}, "
           f"rec->gt {ba:.4f}; subject scale ~1.7 => "
           f"{100*ch/1.7:.2f}% of scale)", flush=True)
+    print(f"P2S (rec verts -> GT surface): {p2s:.4f}; normal error "
+          f"L2 {n_l2:.4f}, cos {n_cos:.4f}", flush=True)
+    record.update(chamfer=round(ch, 5), chamfer_gt_to_rec=round(ab, 5),
+                  chamfer_rec_to_gt=round(ba, 5),
+                  chamfer_pct_of_scale=round(100 * ch / 1.7, 3),
+                  p2s=round(p2s, 5), normal_l2=round(n_l2, 4),
+                  normal_cos=round(n_cos, 4), faces=int(faces.shape[0]))
 else:
     print("EMPTY MESH — training did not converge", flush=True)
+    record["empty_mesh"] = True
+
+out_json = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BENCH_subject.json")
+with open(out_json, "w") as f:
+    json.dump(record, f, indent=1)
+print(f"wrote {out_json}", flush=True)

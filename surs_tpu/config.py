@@ -155,8 +155,11 @@ class SuRSConfig:
     mesh_axis_data: str = "data"    # device-mesh axis for batch sharding
     mesh_axis_points: str = "points"  # device-mesh axis for query sharding
     use_pallas: bool = True         # fused Pallas point-query MLP
-    fused_train: bool = False       # train step queries via the Pallas
-                                    # kernel (custom_vjp backward)
+    fused_train: bool = True        # train step queries via the Pallas
+                                    # kernel (custom_vjp backward);
+                                    # active on TPU group-norm configs
+                                    # (--no_fused_train opts out; CPU
+                                    # always uses the plain XLA step)
     mask_prune: bool = False        # visual-hull octree pre-pruning
     feature_pack: bool = True       # pack_bilinear'd single-gather
                                     # sampling (fused query path only;

@@ -412,6 +412,230 @@ def make_fused_dual_mlp_train_ad(block_n: int = 512,
     return op
 
 
+# --------------------------------------------------------------------------
+# Column-shared evaluation (projective structure).
+#
+# Under an axis-aligned projection (the production eval calibration,
+# recon/pipeline.eval_calibration) every z sample of a grid column (i, j)
+# projects to the SAME (u, v): identical bilinear taps, identical sampled
+# features — only the 1-channel depth feature varies. The per-point MLP
+# input is therefore rank-structured, and the expensive parts factor out
+# per column:
+#
+#   layer_i(x) = h @ W_h  +  [x_lr | x_hr] @ W_feat  (per COLUMN)
+#                         +  z * w_z                 (rank-1 in z)
+#                         +  (pred * w_pred)         (hr conditioning)
+#
+# The kernel computes the column part once per column and the z outer
+# product once per evaluation, leaving only the h-chain matmuls per
+# point: ~3.8x fewer MACs than the generic kernel (dual 1.38 vs 5.3
+# MMAC/point at the reference config) and ~500x fewer gather bytes
+# (one 4-tap sample per column instead of per point). Replaces the hot
+# primitive chain of lib/geometry.py:4-12 + SurfaceClassifier.py:45-79
+# for dense grid evaluation.
+#
+# Weights must be prepared with base_split=(C_lr, C_hr, 1): the lr
+# features, hr features and depth each get their own 128-lane block, so
+# the z rows of every consuming layer are addressable as single rows.
+
+
+def _cols_layer_offsets(spec: MLPSpec, i: int):
+    """(h_rows, seg_offsets, z_row, pred_row|None) inside padded W_i."""
+    padded = [_round128(r) for r in spec.base_segments]
+    n_base = len(spec.base_segments)
+    has_pred = n_base == 4          # hr spec: (C_lr, C_hr, 1(z), 1(pred))
+    if i == 0:
+        h_rows = 0
+        base_off = 0
+    elif i in spec.res_layers:
+        h_rows = _round128(spec.dims[i])
+        base_off = h_rows
+    else:
+        return _round128(spec.dims[i]), None, None, None
+    seg_offs = [base_off, base_off + padded[0]]
+    z_row = base_off + padded[0] + padded[1]
+    pred_row = z_row + padded[2] if has_pred else None
+    return h_rows, seg_offs, z_row, pred_row
+
+
+def _cols_chain(x_parts, z0s, ws, bs, spec: MLPSpec, Z: int,
+                compute_dtype, pred=None):
+    """One column's layer chain over its Z depth samples.
+
+    x_parts: [1, P] padded column features (lr, hr). z0s: {layer: [Z,
+    out]} depth outer products. pred: [Z, 1] coarse conditioning (hr
+    MLP). Returns the final padded logits [Z, out_pad]."""
+    n_layers = len(spec.dims) - 1
+    h = None
+    for i in range(n_layers):
+        h_rows, seg_offs, z_row, pred_row = _cols_layer_offsets(spec, i)
+        W = ws[i]
+        if seg_offs is None:                      # plain layer: h only
+            acc = jnp.dot(h.astype(compute_dtype), W[:h_rows],
+                          preferred_element_type=jnp.float32)
+        else:
+            col = None
+            for p, off in zip(x_parts, seg_offs):
+                d = jnp.dot(p.astype(compute_dtype),
+                            W[off:off + p.shape[-1]],
+                            preferred_element_type=jnp.float32)
+                col = d if col is None else col + d
+            acc = jnp.broadcast_to(col, (Z, col.shape[-1]))
+            acc = acc + z0s[i].astype(jnp.float32)
+            if i > 0:
+                acc = acc + jnp.dot(h.astype(compute_dtype), W[:h_rows],
+                                    preferred_element_type=jnp.float32)
+            if pred_row is not None and pred is not None:
+                wp = W[pred_row:pred_row + 1].astype(jnp.float32)
+                acc = acc + pred * wp
+        h = acc + bs[i]
+        if i < n_layers - 1:
+            h = jnp.where(h >= 0, h, 0.01 * h)    # leaky_relu(0.01)
+    return h
+
+
+def _kernel_cols(*refs, cb: int, Z: int, n_lr: int, n_hr: int,
+                 lr_z_layers, hr_z_layers, spec_lr: MLPSpec,
+                 spec_hr: MLPSpec, compute_dtype):
+    x_lr_ref, x_hr_ref = refs[0], refs[1]
+    o = 2
+    z0_lr = {i: refs[o + k][:] for k, i in enumerate(lr_z_layers)}
+    o += len(lr_z_layers)
+    z0_hr = {i: refs[o + k][:] for k, i in enumerate(hr_z_layers)}
+    o += len(hr_z_layers)
+    lr_w = [refs[o + i][:] for i in range(n_lr)]
+    lr_b = [refs[o + n_lr + i][:] for i in range(n_lr)]
+    hr_w = [refs[o + 2 * n_lr + i][:] for i in range(n_hr)]
+    hr_b = [refs[o + 2 * n_lr + n_hr + i][:] for i in range(n_hr)]
+    out_hr_ref = refs[-2]
+    out_lr_ref = refs[-1]
+
+    for c in range(cb):                    # static unroll over columns
+        parts = [x_lr_ref[c:c + 1, :], x_hr_ref[c:c + 1, :]]
+        logit_lr = _cols_chain(parts, z0_lr, lr_w, lr_b, spec_lr, Z,
+                               compute_dtype)
+        pred_lr = jax.nn.sigmoid(logit_lr[:, :1])          # [Z, 1]
+        logit_hr = _cols_chain(parts, z0_hr, hr_w, hr_b, spec_hr, Z,
+                               compute_dtype, pred=pred_lr)
+        pred_hr = jax.nn.sigmoid(logit_hr[:, :1])
+        # narrow z-on-lanes rows: the output IS the [col, z] volume
+        # layout (the [Z, 1] -> [Z] write is a sublane->lane relayout;
+        # a wide [cb*Z, 128] block here costs 8 MB of double-buffered
+        # VMEM and OOMs the 16 MB scoped budget)
+        out_hr_ref[0, c, :] = pred_hr[:, 0]
+        out_lr_ref[0, c, :] = pred_lr[:, 0]
+
+
+def _cols_z_layers(spec: MLPSpec):
+    return tuple(i for i in range(len(spec.dims) - 1)
+                 if i == 0 or i in spec.res_layers)
+
+
+def _cols_z0(zf, ws, spec: MLPSpec, dtype):
+    """Depth outer products {layer: [Z, out_pad]} (zero weight-pad rows
+    below the real z row make W[z_row] the exact depth column)."""
+    out = {}
+    for i in _cols_z_layers(spec):
+        _, _, z_row, _ = _cols_layer_offsets(spec, i)
+        out[i] = (zf[:, None].astype(jnp.float32)
+                  * ws[i][z_row:z_row + 1].astype(jnp.float32)
+                  ).astype(dtype)
+    return out
+
+
+def fused_dual_mlp_cols(x_lr: jnp.ndarray, x_hr: jnp.ndarray,
+                        zf: jnp.ndarray, fw: FusedWeights,
+                        col_block: int = 8, interpret: bool = False
+                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Column-shared dual-MLP evaluation.
+
+    x_lr [Ncol, C_lr], x_hr [Ncol, C_hr]: per-COLUMN sampled features.
+    zf [Z]: the shared normalized-depth feature of each z sample.
+    Returns (pred_hr [Ncol, Z], pred_lr [Ncol, Z]) — directly the
+    [column, depth] volume layout. Requires weights prepared with
+    base_split=(C_lr, C_hr, 1). Ncol is padded to a multiple of
+    col_block internally (col_block must be a multiple of 8 — Mosaic
+    sublane tiling); Z must be a multiple of 128 on TPU (lane tiling).
+    """
+    segs = fw.spec_lr.base_segments
+    assert len(segs) == 3 and segs[2] == 1, segs
+    Ncol = x_lr.shape[0]
+    Z = zf.shape[0]
+    assert x_lr.shape == (Ncol, segs[0]) and x_hr.shape == (Ncol, segs[1])
+    cb = col_block
+    n_pad = -Ncol % cb
+    Np = Ncol + n_pad
+    x_lr_p = jnp.pad(x_lr, ((0, n_pad), (0, _round128(segs[0]) - segs[0])))
+    x_hr_p = jnp.pad(x_hr, ((0, n_pad), (0, _round128(segs[1]) - segs[1])))
+
+    compute_dtype = fw.lr_w[0].dtype
+    z0_lr = _cols_z0(zf, fw.lr_w, fw.spec_lr, compute_dtype)
+    z0_hr = _cols_z0(zf, fw.hr_w, fw.spec_hr, compute_dtype)
+    lr_zl = _cols_z_layers(fw.spec_lr)
+    hr_zl = _cols_z_layers(fw.spec_hr)
+
+    n_lr = len(fw.lr_w)
+    n_hr = len(fw.hr_w)
+    weight_arrays = (list(fw.lr_w) + list(fw.lr_b) +
+                     list(fw.hr_w) + list(fw.hr_b))
+    z0_arrays = [z0_lr[i] for i in lr_zl] + [z0_hr[i] for i in hr_zl]
+
+    # z sub-blocking: bounds the [zb, 1024] f32 chain activations and
+    # keeps only a [zb, out] slice of each z0 array resident — the whole
+    # -Z variant overflows the 16 MB scoped-VMEM budget at Z=512. The
+    # per-column feature matmuls are recomputed per z-block (Z/zb x, a
+    # few-percent overhead).
+    zb = 256 if (Z >= 256 and Z % 256 == 0) else Z
+    kernel = functools.partial(
+        _kernel_cols, cb=cb, Z=zb, n_lr=n_lr, n_hr=n_hr,
+        lr_z_layers=lr_zl, hr_z_layers=hr_zl,
+        spec_lr=fw.spec_lr, spec_hr=fw.spec_hr,
+        compute_dtype=compute_dtype)
+
+    grid = (Np // cb, Z // zb)
+    in_specs = [pl.BlockSpec((cb, x_lr_p.shape[1]),
+                             lambda i, iz: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cb, x_hr_p.shape[1]),
+                             lambda i, iz: (i, 0),
+                             memory_space=pltpu.VMEM)]
+    for a in z0_arrays:
+        in_specs.append(pl.BlockSpec((zb, a.shape[1]),
+                                     lambda i, iz: (iz, 0),
+                                     memory_space=pltpu.VMEM))
+    for a in weight_arrays:
+        in_specs.append(pl.BlockSpec(a.shape, lambda i, iz: (0, 0),
+                                     memory_space=pltpu.VMEM))
+    out_specs = [pl.BlockSpec((1, cb, zb), lambda i, iz: (i, 0, iz),
+                              memory_space=pltpu.VMEM)] * 2
+
+    out_hr, out_lr = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[jax.ShapeDtypeStruct((Np // cb, cb, Z),
+                                        jnp.float32)] * 2,
+        interpret=interpret,
+    )(x_lr_p, x_hr_p, *z0_arrays, *weight_arrays)
+    return (out_hr.reshape(Np, Z)[:Ncol],
+            out_lr.reshape(Np, Z)[:Ncol])
+
+
+def fused_dual_mlp_cols_xla(x_lr, x_hr, zf, fw: FusedWeights
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """XLA twin of :func:`fused_dual_mlp_cols` (CPU fallback / parity
+    oracle): expands columns to per-point segments and runs the generic
+    padded chain — numerically identical math."""
+    Ncol = x_lr.shape[0]
+    Z = zf.shape[0]
+    x_lr_rep = jnp.repeat(x_lr, Z, axis=0)
+    x_hr_rep = jnp.repeat(x_hr, Z, axis=0)
+    z_rep = jnp.tile(zf[:, None], (Ncol, 1))
+    hr, lr = fused_dual_mlp_xla([x_lr_rep, x_hr_rep, z_rep], fw)
+    return hr.reshape(Ncol, Z), lr.reshape(Ncol, Z)
+
+
 def fused_dual_mlp_xla(x, fw: FusedWeights
                        ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pure-XLA evaluation with the same padded weights (CPU fallback /

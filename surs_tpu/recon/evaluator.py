@@ -834,3 +834,89 @@ def eval_grid_dense(eval_fn: EvalFn, resolution: int, mat: np.ndarray,
     if key not in cache:
         cache[key] = jax.jit(run) if jit else run
     return cache[key](ctx)
+
+
+# ---------------------------------------------------------------------------
+# Column-shared dense evaluation (projective structure).
+#
+# Under an axis-aligned projection every z sample of a grid column (i, j)
+# projects to the same (u, v) — the production eval calibration
+# diag(2, -2, 2, 1) with an axis-aligned bbox qualifies. Features are
+# then sampled once per COLUMN (R^2 gathers instead of R^3) and the
+# dual MLP runs through the column-shared kernel
+# (ops/fused_mlp.fused_dual_mlp_cols), which factors the feature matmuls
+# out per column: ~3.8x fewer MACs and ~R/2x fewer gather bytes than the
+# generic dense evaluator at the reference config. Replaces the hot
+# chain of the reference's eval_grid (lib/sdf.py:48-52).
+
+def dense_cols_separable(calib, mat, tol: float = 1e-6) -> bool:
+    """True when (u, v) is independent of the grid k axis and depth is
+    independent of (i, j) — the precondition for column sharing."""
+    calib = np.asarray(calib, np.float64).reshape(-1, 4, 4)[0]
+    mat = np.asarray(mat, np.float64)
+    A = calib[:3, :3] @ mat[:3, :3]
+    return bool(abs(A[0, 2]) < tol and abs(A[1, 2]) < tol
+                and abs(A[2, 0]) < tol and abs(A[2, 1]) < tol)
+
+
+def eval_grid_dense_cols(cols_weights, feat_lr, feat_hr, calib,
+                         resolution: int, mat: np.ndarray,
+                         load_size: int, z_size: float,
+                         col_block: int = 8,
+                         use_pallas: Optional[bool] = None,
+                         interpret: bool = False,
+                         cache: Optional[Dict] = None
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense evaluation of every grid point via column sharing.
+
+    cols_weights: FusedWeights prepared with base_split=(C_lr, C_hr, 1).
+    feat_lr/feat_hr: [1, H, W, C] UNPACKED feature maps. Requires
+    :func:`dense_cols_separable`(calib, mat). Returns (hr, lr) [R, R, R].
+    """
+    from ..ops.fused_mlp import (fused_dual_mlp_cols,
+                                 fused_dual_mlp_cols_xla)
+    from ..ops.geometry import orthogonal, in_image_mask, normalize_depth
+    from ..ops.grid_sample import grid_sample_points
+
+    if use_pallas is None:       # the kernel needs a real TPU (or
+        use_pallas = jax.default_backend() != "cpu"   # interpret mode)
+    R = resolution
+    ncol = R * R
+    mat = np.asarray(mat)
+
+    def run(ctx):
+        calib_ = ctx["calib"]
+        # shared depth-feature vector (z depends only on k)
+        zpts = flat_index_to_world(jnp.arange(R, dtype=jnp.int32),
+                                   R, 1, mat)                  # [3, R]
+        zf = normalize_depth(
+            orthogonal(zpts[None], calib_)[0, 2, :], load_size, z_size)
+
+        # world coords of each column at k = 0 (uv is k-independent)
+        cid = jnp.arange(ncol, dtype=jnp.int32)
+        pts = flat_index_to_world(cid * R, R, 1, mat)          # [3, NC]
+        xyz = orthogonal(pts[None], calib_)                    # [1,3,NC]
+        mask = in_image_mask(xyz[:, :2, :])[0]                 # [NC]
+        uv = jnp.swapaxes(xyz[:, :2, :], 1, 2)                 # [1,NC,2]
+        x_lr = grid_sample_points(ctx["feat_lr"], uv)[0]
+        x_hr = grid_sample_points(ctx["feat_hr"], uv)[0]
+        x_lr = x_lr.astype(jnp.float32)
+        x_hr = x_hr.astype(jnp.float32)
+        if use_pallas:
+            hr, lr = fused_dual_mlp_cols(
+                x_lr, x_hr, zf, ctx["weights"],
+                col_block=col_block, interpret=interpret)
+        else:
+            hr, lr = fused_dual_mlp_cols_xla(x_lr, x_hr, zf,
+                                             ctx["weights"])
+        hr = hr * mask[:, None]                                # [NC, R]
+        lr = lr * mask[:, None]
+        return hr.reshape(R, R, R), lr.reshape(R, R, R)
+
+    ctx = {"weights": cols_weights, "feat_lr": feat_lr,
+           "feat_hr": feat_hr, "calib": jnp.asarray(calib)}
+    cache = cache if cache is not None else {}
+    key = ("dense-cols", R, col_block, use_pallas, mat.tobytes())
+    if key not in cache:
+        cache[key] = jax.jit(run)
+    return cache[key](ctx)

@@ -88,13 +88,15 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
     init_batch = batch_to_device(collate([train_dataset[0]]))
     state = create_train_state(model, optimizer, jax.random.PRNGKey(cfg.seed),
                                init_batch)
-    if getattr(cfg, "fused_train", False) and cfg.norm != "batch":
-        # route the point-MLP stage through the Pallas kernel
-        # (custom_vjp; gradient-parity pinned by tests/test_fused_train)
+    if (getattr(cfg, "fused_train", False) and cfg.norm != "batch"
+            and jax.default_backend() != "cpu"):
+        # TPU default: route the point-MLP stage through the Pallas
+        # kernel (custom_vjp; gradient-parity pinned by
+        # tests/test_fused_train). --no_fused_train opts out; CPU and
+        # batch-norm configs take the plain XLA step.
         from .fused_step import make_fused_train_step
-        step_fn = make_fused_train_step(
-            model, optimizer,
-            use_pallas=cfg.use_pallas and jax.default_backend() != "cpu")
+        step_fn = make_fused_train_step(model, optimizer,
+                                        use_pallas=cfg.use_pallas)
     else:
         step_fn = make_train_step(model, optimizer)
 

@@ -162,3 +162,81 @@ def test_fused_query_packed_matches_model(rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_cols_kernel_matches_flax(mlps, rng):
+    """Column-shared kernel (interpret=True) == the Flax chain on the
+    expanded per-point inputs, and == its XLA twin."""
+    from surs_tpu.ops.fused_mlp import (fused_dual_mlp_cols,
+                                        fused_dual_mlp_cols_xla)
+    _, _, p_lr, p_hr = mlps
+    C_lr, C_hr = 256, 64
+    fw = prepare_fused_weights(p_lr, p_hr, DIMS_LR, DIMS_HR,
+                               base_split=(C_lr, C_hr, 1))
+    Ncol, Z = 6, 16
+    x_lr = jnp.asarray(rng.standard_normal((Ncol, C_lr)).astype(
+        np.float32))
+    x_hr = jnp.asarray(rng.standard_normal((Ncol, C_hr)).astype(
+        np.float32))
+    zf = jnp.asarray(rng.standard_normal((Z,)).astype(np.float32))
+
+    hr, lr = fused_dual_mlp_cols(x_lr, x_hr, zf, fw, col_block=2,
+                                 interpret=True)
+    assert hr.shape == (Ncol, Z)
+    hr_x, lr_x = fused_dual_mlp_cols_xla(x_lr, x_hr, zf, fw)
+    np.testing.assert_allclose(np.asarray(hr), np.asarray(hr_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lr_x),
+                               rtol=1e-5, atol=1e-6)
+
+    # oracle: the Flax chain on the expanded per-point concat input
+    x_full = jnp.concatenate(
+        [jnp.repeat(x_lr, Z, axis=0), jnp.repeat(x_hr, Z, axis=0),
+         jnp.tile(zf[:, None], (Ncol, 1))], axis=-1)
+    ref_hr, ref_lr = reference_chain(mlps, x_full)
+    np.testing.assert_allclose(np.asarray(lr).reshape(-1), ref_lr,
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hr).reshape(-1), ref_hr,
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cols_kernel_ragged_ncol(mlps, rng):
+    """Ncol not divisible by col_block: pad columns are dropped."""
+    from surs_tpu.ops.fused_mlp import (fused_dual_mlp_cols,
+                                        fused_dual_mlp_cols_xla)
+    _, _, p_lr, p_hr = mlps
+    fw = prepare_fused_weights(p_lr, p_hr, DIMS_LR, DIMS_HR,
+                               base_split=(256, 64, 1))
+    Ncol, Z = 3, 8
+    x_lr = jnp.asarray(rng.standard_normal((Ncol, 256)).astype(np.float32))
+    x_hr = jnp.asarray(rng.standard_normal((Ncol, 64)).astype(np.float32))
+    zf = jnp.asarray(rng.standard_normal((Z,)).astype(np.float32))
+    hr, lr = fused_dual_mlp_cols(x_lr, x_hr, zf, fw, col_block=2,
+                                 interpret=True)
+    hr_x, lr_x = fused_dual_mlp_cols_xla(x_lr, x_hr, zf, fw)
+    assert hr.shape == (Ncol, Z)
+    np.testing.assert_allclose(np.asarray(hr), np.asarray(hr_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lr_x),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_cols_kernel_z_blocked(mlps, rng):
+    """Z >= 256 engages the z-sub-block grid (zb=256); parity holds
+    across the block boundary."""
+    from surs_tpu.ops.fused_mlp import (fused_dual_mlp_cols,
+                                        fused_dual_mlp_cols_xla)
+    _, _, p_lr, p_hr = mlps
+    fw = prepare_fused_weights(p_lr, p_hr, DIMS_LR, DIMS_HR,
+                               base_split=(256, 64, 1))
+    Ncol, Z = 2, 512
+    x_lr = jnp.asarray(rng.standard_normal((Ncol, 256)).astype(np.float32))
+    x_hr = jnp.asarray(rng.standard_normal((Ncol, 64)).astype(np.float32))
+    zf = jnp.asarray(np.linspace(-1.0, 1.0, Z).astype(np.float32))
+    hr, lr = fused_dual_mlp_cols(x_lr, x_hr, zf, fw, col_block=2,
+                                 interpret=True)
+    hr_x, lr_x = fused_dual_mlp_cols_xla(x_lr, x_hr, zf, fw)
+    np.testing.assert_allclose(np.asarray(hr), np.asarray(hr_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lr_x),
+                               rtol=1e-5, atol=1e-6)

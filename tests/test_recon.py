@@ -533,3 +533,65 @@ def test_octree_mono_matches_hostloop():
         ctx=None, init_dirty=im)
     np.testing.assert_allclose(np.asarray(b_hr), np.asarray(a_hr),
                                atol=1e-6)
+
+
+def test_dense_cols_matches_generic_dense():
+    """Column-shared dense evaluator == the generic query-path dense
+    evaluator on an axis-aligned calib; rotated calibs are detected as
+    non-separable and fall back."""
+    import jax
+    from surs_tpu.models import SuRSNet
+    from surs_tpu.recon.pipeline import Reconstructor
+    from surs_tpu.recon.evaluator import dense_cols_separable
+    from surs_tpu.ops.fused_mlp import prepare_fused_weights
+
+    model = SuRSNet(load_size=32, num_stack_lr=2)
+    S = 16
+    rng0 = np.random.default_rng(5)
+    img = jnp.asarray(rng0.standard_normal((1, S, S, 3)).astype(np.float32))
+    img_hr = jnp.asarray(
+        rng0.standard_normal((1, 2 * S, 2 * S, 3)).astype(np.float32))
+    pts0 = jnp.asarray((rng0.random((1, 3, 4)) - 0.5).astype(np.float32))
+    calib = np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32)[None]
+    params = model.init(jax.random.PRNGKey(0), img, img_hr, pts0, pts0,
+                        jnp.asarray(calib), train=True)["params"]
+    rec = Reconstructor(model)
+    _, feats_lr, feat_hr = rec.encode(params, img)
+
+    R = 16
+    b_min, b_max = np.array([-0.6, -0.5, -0.4]), np.array([0.5, 0.6, 0.7])
+    ref_hr, ref_lr, mat = rec.evaluate(params, feats_lr, feat_hr, calib,
+                                       R, b_min, b_max, use_octree=False,
+                                       num_samples=500)
+
+    fw3 = prepare_fused_weights(
+        params["mlp_lr"], params["mlp_hr"],
+        (321, 1024, 512, 256, 128, 1), (322, 1024, 512, 256, 128, 1),
+        base_split=(256, 64, 1))
+    rec_c = Reconstructor(model, cols_weights=fw3, load_size=32,
+                          z_size=200.0)
+    got_hr, got_lr, _ = rec_c.evaluate(params, feats_lr, feat_hr, calib,
+                                       R, b_min, b_max, use_octree=False,
+                                       num_samples=500)
+    np.testing.assert_allclose(np.asarray(got_hr), np.asarray(ref_hr),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_lr), np.asarray(ref_lr),
+                               rtol=1e-4, atol=1e-5)
+
+    # rotated calib: not separable; evaluate() falls back to generic
+    th = np.deg2rad(30.0)
+    rot = np.eye(4, dtype=np.float32)
+    rot[0, 0] = rot[2, 2] = np.cos(th)
+    rot[0, 2] = np.sin(th)
+    rot[2, 0] = -np.sin(th)
+    calib_r = (calib[0] @ rot)[None]
+    mat16 = grid_matrix((R, R, R), b_min, b_max)
+    assert not dense_cols_separable(calib_r, mat16)
+    ref2_hr, _, _ = rec.evaluate(params, feats_lr, feat_hr, calib_r, R,
+                                 b_min, b_max, use_octree=False,
+                                 num_samples=500)
+    got2_hr, _, _ = rec_c.evaluate(params, feats_lr, feat_hr, calib_r, R,
+                                   b_min, b_max, use_octree=False,
+                                   num_samples=500)
+    np.testing.assert_allclose(np.asarray(got2_hr), np.asarray(ref2_hr),
+                               atol=1e-6)
