@@ -63,25 +63,40 @@ class SuRSService:
         self.params = params if params is not None \
             else load_params(cfg, self.model)
         query_fn = None
+        cols_w = None
         self.weights = self.params
         pack = bool(getattr(cfg, "feature_pack", False))
+        fdt = jnp.bfloat16 if cfg.feature_dtype == "bfloat16" else None
         if cfg.use_pallas and jax.default_backend() != "cpu":
+            kdt = jnp.bfloat16 if fdt is not None else jnp.float32
             base_split = (cfg.hg_dim, cfg.mlp_dim_lr[0] - cfg.hg_dim) \
                 if pack else None
             self.weights = prepare_fused_weights(
                 self.params["mlp_lr"], self.params["mlp_hr"],
                 cfg.mlp_dim_lr, cfg.mlp_dim_hr, cfg.mlp_res_layers_lr,
-                cfg.mlp_res_layers_hr, base_split=base_split)
+                cfg.mlp_res_layers_hr, dtype=kdt, base_split=base_split)
             query_fn = make_fused_query_fn(cfg.loadSize, cfg.z_size,
                                            packed=pack)
+            if not cfg.use_octree:
+                # dense serving takes the column-shared evaluator when
+                # the calib is axis-aligned (recon/evaluator.py)
+                cols_w = prepare_fused_weights(
+                    self.params["mlp_lr"], self.params["mlp_hr"],
+                    cfg.mlp_dim_lr, cfg.mlp_dim_hr,
+                    cfg.mlp_res_layers_lr, cfg.mlp_res_layers_hr,
+                    dtype=kdt,
+                    base_split=(cfg.hg_dim,
+                                cfg.mlp_dim_lr[0] - cfg.hg_dim - 1, 1))
         else:
             pack = False
-        fdt = jnp.bfloat16 if cfg.feature_dtype == "bfloat16" else None
         self.rec = Reconstructor(self.model, query_fn=query_fn,
                                  feature_dtype=fdt, feature_pack=pack,
                                  octree_mode=getattr(
                                      cfg, "serve_octree_mode",
-                                     "hostloop"))
+                                     "hostloop"),
+                                 cols_weights=cols_w,
+                                 load_size=cfg.loadSize,
+                                 z_size=cfg.z_size)
 
     def warmup(self, image_hw: Tuple[int, int]) -> float:
         """Pre-compile all programs for an input shape; returns seconds."""

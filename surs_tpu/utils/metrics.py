@@ -128,9 +128,24 @@ def projected_normal_error(mesh_rec: MeshData, mesh_gt: MeshData,
         # for marching-cubes output; matters for coarse GT meshes)
         uvz, vn, f = _subdivide_for_raster(uvz, vn, f, res,
                                            max_px=patch - 2)
-        img, mask, _ = rasterize(jnp.asarray(uvz),
-                                 jnp.asarray(f, jnp.int32),
-                                 jnp.asarray(vn), res=res, patch=patch)
+        # chunk megaface meshes: the rasterizer's F x patch^2 candidate
+        # tensors are ~2.5 GB per 2.4M faces — render in face chunks
+        # and z-merge (front-most depth wins per pixel)
+        chunk = 400_000
+        img = mask = depth = None
+        uvz_j = jnp.asarray(uvz)
+        vn_j = jnp.asarray(vn)
+        for f0 in range(0, max(f.shape[0], 1), chunk):
+            img_c, mask_c, depth_c = rasterize(
+                uvz_j, jnp.asarray(f[f0:f0 + chunk], jnp.int32),
+                vn_j, res=res, patch=patch)
+            if img is None:
+                img, mask, depth = img_c, mask_c, depth_c
+            else:
+                win = depth_c < depth
+                depth = jnp.where(win, depth_c, depth)
+                img = jnp.where(win[..., None], img_c, img)
+                mask = mask | mask_c
         # re-normalize the interpolated normals pixel-wise
         n = img / jnp.maximum(
             jnp.linalg.norm(img, axis=-1, keepdims=True), 1e-12)
