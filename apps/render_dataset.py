@@ -26,6 +26,10 @@ def main():
     ap.add_argument("--patch", type=int, default=16,
                     help="rasterizer per-face patch (px)")
     ap.add_argument("--subjects", nargs="*", default=None)
+    ap.add_argument("--prt", action="store_true",
+                    help="shade with per-vertex precomputed radiance "
+                         "transfer (the reference renderer's lighting "
+                         "model) instead of analytic SH")
     ap.add_argument("--uv", action="store_true",
                     help="also render the UV-space color-supervision "
                          "layout (UV_RENDER/UV_MASK/UV_POS/UV_NORMAL, "
@@ -37,7 +41,7 @@ def main():
     obj_dir = os.path.join(args.dataroot, "GEO", "OBJ")
     render_dataset(obj_dir, args.dataroot, load_size=args.loadSize,
                    yaw_step=args.yaw_step, patch=args.patch,
-                   subjects=args.subjects)
+                   subjects=args.subjects, use_prt=args.prt)
     if args.uv:
         render_uv_dataset(obj_dir, args.dataroot, uv_size=args.uv_size,
                           yaw_step=args.yaw_step, subjects=args.subjects)

@@ -1,0 +1,186 @@
+"""Precomputed radiance transfer (PRT) shading.
+
+The reference renderer shades training images with per-vertex
+spherical-harmonic transfer vectors — ``prt.fs``'s
+``evaluateLightingModelPRT`` computes ``sum_i prt[i] * SHCoeffs[i]``
+(/root/reference/lib/renderer/gl/data/prt.fs:94-104) with an analytic
+irradiance fallback ``evaluateH`` (prt.fs:44-58, the Ramamoorthi &
+Hanrahan cosine-lobe convolution constants), and ``prt.vs`` rotates the
+transfer vectors into the view's light frame. The transfer vectors
+themselves come from the PIFu preprocessing step (Monte-Carlo shadowed
+diffuse transfer over a ray-cast visibility term).
+
+TPU-native re-expression:
+
+  * :func:`irradiance_basis` — evaluateH, vectorized (exact constants);
+  * :func:`compute_prt` — shadowed diffuse transfer. Visibility uses an
+    occupancy-GRID ray march instead of a BVH ray caster: the mesh is
+    voxelized once with the winding-number containment op
+    (ops/containment — already the framework's trimesh.contains
+    replacement) and each (vertex, direction) ray samples the grid at S
+    points, all as batched gathers on the accelerator. For convex
+    geometry this reproduces the analytic basis (tests); for concave
+    geometry it darkens occluded directions exactly like the ray-cast
+    version, up to grid resolution.
+  * :func:`sh_rotation_matrix` — the 9x9 band-limited rotation
+    (prt.vs's shader rotation), built numerically by least squares over
+    a Fibonacci direction set (exact for band <= 2 up to fp rounding);
+  * :func:`prt_shading` — the fragment-shader contraction.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .shading import sh9_basis, vertex_normals
+
+
+def irradiance_basis(n: jnp.ndarray) -> jnp.ndarray:
+    """``evaluateH``: the analytic clamped-cosine-convolved SH9 basis at
+    unit normals ``n`` [V, 3] -> [V, 9]. Matches prt.fs:44-58 exactly
+    (its index order is Y00, Y1-1, Y10, Y11, Y2-2, Y2-1, Y20, Y21, Y22
+    with (x, y, z) = (n[0], n[1], n[2]))."""
+    c1, c2, c3, c4, c5 = 0.429043, 0.511664, 0.743125, 0.886227, 0.247708
+    x, y, z = n[..., 0], n[..., 1], n[..., 2]
+    return jnp.stack([
+        jnp.full_like(x, c4),
+        2.0 * c2 * y,
+        2.0 * c2 * z,
+        2.0 * c2 * x,
+        2.0 * c1 * x * y,
+        2.0 * c1 * y * z,
+        c3 * z * z - c5,
+        2.0 * c1 * z * x,
+        c1 * (x * x - y * y),
+    ], axis=-1)
+
+
+def fibonacci_sphere(n: int) -> np.ndarray:
+    """n near-uniform unit directions (spherical Fibonacci lattice)."""
+    i = np.arange(n, dtype=np.float64) + 0.5
+    phi = np.pi * (3.0 - np.sqrt(5.0)) * i
+    z = 1.0 - 2.0 * i / n
+    r = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+    return np.stack([r * np.cos(phi), r * np.sin(phi), z],
+                    axis=1).astype(np.float32)
+
+
+def voxelize_occupancy(verts: np.ndarray, faces: np.ndarray,
+                       grid: int = 96, pad: float = 0.03
+                       ) -> Tuple[jnp.ndarray, np.ndarray, np.ndarray]:
+    """Solid occupancy grid of a mesh via winding numbers.
+
+    Returns (occ [G,G,G] bool, b_min [3], cell [3]) where grid point
+    (i,j,k) sits at ``b_min + (ijk + 0.5) * cell``.
+    """
+    from ..ops.containment import contains
+
+    v = np.asarray(verts, np.float32)
+    b_min = v.min(axis=0) - pad
+    b_max = v.max(axis=0) + pad
+    cell = (b_max - b_min) / grid
+    g = (np.arange(grid, dtype=np.float32) + 0.5)
+    pts = np.stack(np.meshgrid(g * cell[0] + b_min[0],
+                               g * cell[1] + b_min[1],
+                               g * cell[2] + b_min[2],
+                               indexing="ij"), -1).reshape(-1, 3)
+    occ = np.zeros((grid ** 3,), bool)
+    chunk = 65536
+    for s in range(0, pts.shape[0], chunk):
+        occ[s:s + chunk] = np.asarray(
+            contains(pts[s:s + chunk], v, np.asarray(faces)))
+    return jnp.asarray(occ.reshape(grid, grid, grid)), b_min, cell
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps",))
+def _visibility(origins, normals, dirs, occ, b_min, inv_cell,
+                t0: float, t1: float, n_steps: int = 48):
+    """V [Nv, D] in {0,1}: 1 when the ray origin + t*dir (t in [t0,t1])
+    never enters the solid. Front-facing rays only matter (the geometry
+    term zeroes the rest)."""
+    G = occ.shape[0]
+    occ_f = occ.reshape(-1)
+    ts = jnp.linspace(t0, t1, n_steps, dtype=jnp.float32)
+
+    def step_occluded(carry, t):
+        p = origins[:, None, :] + t * dirs[None, :, :]   # [Nv, D, 3]
+        ijk = jnp.floor((p - b_min) * inv_cell).astype(jnp.int32)
+        inb = jnp.all((ijk >= 0) & (ijk < G), axis=-1)
+        ijk = jnp.clip(ijk, 0, G - 1)
+        gid = (ijk[..., 0] * G + ijk[..., 1]) * G + ijk[..., 2]
+        hit = occ_f[gid] & inb
+        return carry | hit, None
+
+    occluded0 = jnp.zeros((origins.shape[0], dirs.shape[0]), bool)
+    occluded, _ = jax.lax.scan(step_occluded, occluded0, ts)
+    return jnp.logical_not(occluded)
+
+
+def compute_prt(verts: np.ndarray, faces: np.ndarray,
+                n_dirs: int = 128, grid: int = 96,
+                n_steps: int = 48, eps_cells: float = 2.0,
+                vert_chunk: int = 4096,
+                normals: Optional[np.ndarray] = None) -> np.ndarray:
+    """Per-vertex shadowed diffuse transfer vectors [V, 9].
+
+    T_i(v) = (4*pi / N) * sum_w  Y_i(w) * V(v, w) * max(n_v . w, 0)
+
+    — so for an unoccluded vertex T == :func:`irradiance_basis`(n) up to
+    Monte-Carlo error (the convention prt.fs's hybrid shadow ratio
+    relies on). Rays start ``eps_cells`` voxel diagonals off the surface
+    to avoid self-intersection with the vertex's own voxel.
+    """
+    verts = np.asarray(verts, np.float32)
+    faces = np.asarray(faces)
+    if normals is None:
+        normals = np.asarray(vertex_normals(
+            jnp.asarray(verts), jnp.asarray(faces, jnp.int32)))
+    occ, b_min, cell = voxelize_occupancy(verts, faces, grid=grid)
+    diag = float(np.linalg.norm(cell))
+    t0 = eps_cells * diag
+    t1 = float(np.linalg.norm(verts.max(0) - verts.min(0))) + 2 * diag
+
+    dirs = jnp.asarray(fibonacci_sphere(n_dirs))
+    Y = sh9_basis(dirs)                                  # [D, 9]
+    inv_cell = jnp.asarray(1.0 / cell, jnp.float32)
+    b_min_j = jnp.asarray(b_min, jnp.float32)
+
+    out = np.empty((verts.shape[0], 9), np.float32)
+    for s in range(0, verts.shape[0], vert_chunk):
+        v = jnp.asarray(verts[s:s + vert_chunk])
+        n = jnp.asarray(normals[s:s + vert_chunk])
+        # offset origins along the normal too, so surface voxels of the
+        # vertex itself do not occlude grazing directions
+        orig = v + t0 * n
+        vis = _visibility(orig, n, dirs, occ, b_min_j, inv_cell,
+                          t0, t1, n_steps=n_steps)       # [Nv, D]
+        geom = jnp.maximum(n @ dirs.T, 0.0)              # [Nv, D]
+        w = vis.astype(jnp.float32) * geom
+        T = (4.0 * np.pi / n_dirs) * (w @ Y)             # [Nv, 9]
+        out[s:s + vert_chunk] = np.asarray(T)
+    return out
+
+
+def sh_rotation_matrix(R: np.ndarray, n_fit: int = 256) -> np.ndarray:
+    """9x9 matrix M with SH9(R @ w) == SH9(w) @ M.T for band-limited
+    functions: rotating a transfer/light vector c is ``M @ c``
+    (prt.vs's in-shader SH rotation, done host-side). Built by least
+    squares over a Fibonacci set — exact for bands <= 2."""
+    d = fibonacci_sphere(n_fit)
+    Y0 = np.asarray(sh9_basis(jnp.asarray(d)))             # [K, 9]
+    Yr = np.asarray(sh9_basis(jnp.asarray(d @ np.asarray(R, np.float32))))
+    # f_rot(w) = f(R^-1 w); with rows d: evaluate original basis at
+    # R^-1 d == d @ R (orthonormal R)
+    M, *_ = np.linalg.lstsq(Y0, Yr, rcond=None)
+    return M.T.astype(np.float32)
+
+
+def prt_shading(prt: jnp.ndarray, sh_coeffs) -> jnp.ndarray:
+    """``evaluateLightingModelPRT``: [V, 9] x ([9] or [9, 3]) ->
+    [V] or [V, 3] irradiance."""
+    return prt @ jnp.asarray(sh_coeffs, jnp.float32)
