@@ -920,3 +920,78 @@ def eval_grid_dense_cols(cols_weights, feat_lr, feat_hr, calib,
     if key not in cache:
         cache[key] = jax.jit(run)
     return cache[key](ctx)
+
+
+def eval_grid_dense_cols_sharded(cols_weights, feat_lr, feat_hr, calib,
+                                 resolution: int, mat: np.ndarray,
+                                 load_size: int, z_size: float,
+                                 mesh, col_block: int = 8,
+                                 use_pallas: Optional[bool] = None,
+                                 interpret: bool = False,
+                                 cache: Optional[Dict] = None
+                                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Multi-chip column-shared dense evaluation.
+
+    Columns are embarrassingly parallel, so the R^2 column axis shards
+    over the mesh's 'points' axis (shard_map): each device samples and
+    evaluates its contiguous slab of columns against replicated feature
+    maps/weights — no collectives on the hot path, one all-gather
+    materializes the full volumes at the end (XLA inserts it from the
+    output spec). Requires R^2 divisible by the axis size and the
+    per-device slab to be whole i-rows (R divisible by the axis size).
+    """
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from ..ops.fused_mlp import (fused_dual_mlp_cols,
+                                 fused_dual_mlp_cols_xla)
+    from ..ops.geometry import orthogonal, in_image_mask, normalize_depth
+    from ..ops.grid_sample import grid_sample_points
+    from ..parallel.mesh import POINT_AXIS
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    R = resolution
+    ncol = R * R
+    n_shards = mesh.shape[POINT_AXIS]
+    assert R % n_shards == 0, (R, n_shards)
+    ncol_loc = ncol // n_shards
+    mat = np.asarray(mat)
+
+    def local(ctx):
+        calib_ = ctx["calib"]
+        zpts = flat_index_to_world(jnp.arange(R, dtype=jnp.int32),
+                                   R, 1, mat)
+        zf = normalize_depth(
+            orthogonal(zpts[None], calib_)[0, 2, :], load_size, z_size)
+        shard = jax.lax.axis_index(POINT_AXIS)
+        cid = shard * ncol_loc + jnp.arange(ncol_loc, dtype=jnp.int32)
+        pts = flat_index_to_world(cid * R, R, 1, mat)
+        xyz = orthogonal(pts[None], calib_)
+        mask = in_image_mask(xyz[:, :2, :])[0]
+        uv = jnp.swapaxes(xyz[:, :2, :], 1, 2)
+        x_lr = grid_sample_points(ctx["feat_lr"], uv)[0].astype(
+            jnp.float32)
+        x_hr = grid_sample_points(ctx["feat_hr"], uv)[0].astype(
+            jnp.float32)
+        if use_pallas:
+            hr, lr = fused_dual_mlp_cols(x_lr, x_hr, zf, ctx["weights"],
+                                         col_block=col_block,
+                                         interpret=interpret)
+        else:
+            hr, lr = fused_dual_mlp_cols_xla(x_lr, x_hr, zf,
+                                             ctx["weights"])
+        hr = (hr * mask[:, None]).reshape(R // n_shards, R, R)
+        lr = (lr * mask[:, None]).reshape(R // n_shards, R, R)
+        return hr, lr
+
+    ctx = {"weights": cols_weights, "feat_lr": feat_lr,
+           "feat_hr": feat_hr, "calib": jnp.asarray(calib)}
+    cache = cache if cache is not None else {}
+    key = ("dense-cols-sharded", R, col_block, use_pallas, n_shards,
+           mat.tobytes())
+    if key not in cache:
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P(),),
+                       out_specs=(P(POINT_AXIS), P(POINT_AXIS)))
+        cache[key] = jax.jit(fn)
+    return cache[key](ctx)

@@ -102,3 +102,40 @@ def test_point_sharded_reconstructor_matches(rng):
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(lr1), np.asarray(lr0),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_dense_cols_sharded_matches_single(rng):
+    """Column-sharded dense evaluation over the 8-device mesh == the
+    single-device column evaluator (and hence the generic path)."""
+    from surs_tpu.ops.fused_mlp import prepare_fused_weights
+    from surs_tpu.recon.grid import grid_matrix
+    from surs_tpu.recon.evaluator import (eval_grid_dense_cols,
+                                          eval_grid_dense_cols_sharded)
+
+    model = SuRSNet(load_size=32, num_stack_lr=2)
+    S = 16
+    img = jnp.asarray(rng.standard_normal((1, S, S, 3)).astype(np.float32))
+    img_hr = jnp.asarray(
+        rng.standard_normal((1, 2 * S, 2 * S, 3)).astype(np.float32))
+    pts0 = jnp.asarray((rng.random((1, 3, 4)) - 0.5).astype(np.float32))
+    calib = np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32)[None]
+    params = model.init(jax.random.PRNGKey(0), img, img_hr, pts0, pts0,
+                        jnp.asarray(calib), train=True)["params"]
+    _, feats_lr, feat_hr = model.apply({"params": params}, img,
+                                       train=False,
+                                       method=SuRSNet.encode)
+    fw3 = prepare_fused_weights(
+        params["mlp_lr"], params["mlp_hr"],
+        (321, 1024, 512, 256, 128, 1), (322, 1024, 512, 256, 128, 1),
+        base_split=(256, 64, 1))
+    R = 16
+    mat = grid_matrix((R, R, R), np.array([-0.5] * 3), np.array([0.5] * 3))
+    hr1, lr1 = eval_grid_dense_cols(fw3, feats_lr[-1], feat_hr, calib,
+                                    R, mat, 32, 200.0)
+    mesh = make_mesh(n_data=1, n_points=8)
+    hr8, lr8 = eval_grid_dense_cols_sharded(
+        fw3, feats_lr[-1], feat_hr, calib, R, mat, 32, 200.0, mesh)
+    np.testing.assert_allclose(np.asarray(hr8), np.asarray(hr1),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lr8), np.asarray(lr1),
+                               atol=1e-6)
