@@ -64,11 +64,25 @@ for _dx in range(2):
 assert len(_SLOTS) == 19
 N_SLOTS = 19
 
-_SLOT_LUT = -np.ones(64, np.int32)
-for _i, ((_ox, _oy, _oz), (_dx, _dy, _dz)) in enumerate(_SLOTS):
-    _SLOT_LUT[(_ox + 2 * _oy + 4 * _oz) + 8 * (_dx + 2 * _dy + 4 * _dz)] = _i
 _SLOT_OFF = np.array([s[0] for s in _SLOTS], np.int32)     # [19, 3]
 _SLOT_DELTA = np.array([s[1] for s in _SLOTS], np.int32)   # [19, 3]
+
+
+def _make_slot_tables(keep_mask: np.ndarray) -> dict:
+    """Algorithm-local canonical-slot tables.
+
+    The finalize/weld pass is linear in max_cells * n_slots, so each
+    tessellation only enumerates the slots it can emit: marching tets
+    all 19 decomposition edges, classic marching cubes only the 12
+    axis-edge slots (a 19/12 cut of the weld domain).
+    """
+    idx = np.where(keep_mask)[0]
+    lut = -np.ones(64, np.int32)
+    for local, g in enumerate(idx):
+        (ox, oy, oz), (dx, dy, dz) = _SLOTS[g]
+        lut[(ox + 2 * oy + 4 * oz) + 8 * (dx + 2 * dy + 4 * dz)] = local
+    return dict(n_slots=len(idx), slot_off=_SLOT_OFF[idx],
+                slot_delta=_SLOT_DELTA[idx], slot_lut=lut)
 
 # Per (tet, slot, vertex): local corner pair (a, b) indexed by case.
 # _VTX_A[t, s, v][case] = local corner id a (0 where the case emits no
@@ -116,12 +130,12 @@ _ALGOS = {
     "tets": dict(groups=[tuple(t) for t in _TETS], n_cases=16,
                  va=_VTX_A, vb=_VTX_B, valid=_TRI_VALID,
                  tris_per_cell=12,
-                 slot_allowed=np.ones(N_SLOTS, bool)),
+                 **_make_slot_tables(np.ones(N_SLOTS, bool))),
     "cubes": dict(groups=[tuple(range(8))], n_cases=256,
                   va=_VTX_A_MC, vb=_VTX_B_MC, valid=_TRI_VALID_MC,
                   tris_per_cell=MC_MAX_TRIS,
-                  # only unit-delta (axis edge) slots carry vertices
-                  slot_allowed=(_SLOT_DELTA.sum(axis=1) == 1)),
+                  # only unit-delta (axis edge) slots can be emitted
+                  **_make_slot_tables(_SLOT_DELTA.sum(axis=1) == 1)),
 }
 
 
@@ -211,8 +225,9 @@ def _emit_cells(vol_flat, cell_gids, cell_valid, rank_lat, level,
     in8 = (val8 > level).astype(jnp.int32)
 
     spec = _ALGOS[algo]
-    lut = jnp.asarray(_SLOT_LUT)
-    vids, valids = [[], [], []], []
+    lut = jnp.asarray(spec["slot_lut"])
+    n_eslots = spec["n_slots"]          # canonical EDGE slots (19/12);
+    vids, valids = [[], [], []], []     # n_slots below = triangle slots
     for g_i, corners in enumerate(spec["groups"]):
         case = sum(in8[:, c] << j for j, c in enumerate(corners))  # [K]
         n_slots = spec["va"].shape[1]
@@ -242,7 +257,7 @@ def _emit_cells(vol_flat, cell_gids, cell_valid, rank_lat, level,
                 slot = lut[key]
                 ogid = (owx * Y + owy) * Z + owz
                 rank = rank_lat[ogid]
-                vids[v_i].append(rank * N_SLOTS + slot)
+                vids[v_i].append(rank * n_eslots + slot)
     valid = jnp.concatenate(valids)               # [tris_per_cell * K]
     out = [jnp.concatenate(vids[v]) for v in range(3)]
     return (*out, valid)
@@ -265,7 +280,9 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_tris: int,
     tgt = jnp.where(m < jnp.minimum(n_cells, max_cells), compact[:-1], XYZ)
     rank_lat = jnp.zeros((XYZ,), jnp.int32).at[tgt].set(m, mode="drop")
 
-    n_vid = max_cells * N_SLOTS
+    spec = _ALGOS[algo]
+    n_slots = spec["n_slots"]
+    n_vid = max_cells * n_slots
     fbuf0 = tuple(jnp.zeros((max_tris + 1,), jnp.int32) for _ in range(3))
 
     na = jnp.minimum(n_cells, max_cells)
@@ -295,14 +312,16 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_tris: int,
     # from the volume (no weld scatters): the canonical edge of
     # (rank, slot) carries a vertex iff its endpoints straddle the
     # level — exactly when some tetrahedron emits it ----
-    rank_all = jnp.arange(n_vid, dtype=jnp.int32) // N_SLOTS
-    slot_all = jnp.arange(n_vid, dtype=jnp.int32) % N_SLOTS
+    rank_all = jnp.arange(n_vid, dtype=jnp.int32) // n_slots
+    slot_all = jnp.arange(n_vid, dtype=jnp.int32) % n_slots
     gid_all = compact[jnp.minimum(rank_all, max_cells)]
     bz = gid_all % Z
     by = (gid_all // Z) % Y
     bx = gid_all // (Y * Z)
-    offq = [jnp.asarray(_SLOT_OFF[:, c])[slot_all] for c in range(3)]
-    dq = [jnp.asarray(_SLOT_DELTA[:, c])[slot_all] for c in range(3)]
+    offq = [jnp.asarray(spec["slot_off"][:, c])[slot_all]
+            for c in range(3)]
+    dq = [jnp.asarray(spec["slot_delta"][:, c])[slot_all]
+          for c in range(3)]
     lox = bx + offq[0]
     loy = by + offq[1]
     loz = bz + offq[2]
@@ -319,12 +338,6 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_tris: int,
               & ((offq[1] == 0) | (by == Y - 2))
               & ((offq[2] == 0) | (bz == Z - 2)))
     present = (in_lo != in_hi) & own_ok & (rank_all < na)
-    # the tessellation may only reference a subset of the 19 canonical
-    # edge slots (marching cubes: axis edges only) — mask the rest so
-    # no unreferenced vertices are emitted
-    allowed = _ALGOS[algo]["slot_allowed"]
-    if not allowed.all():
-        present = present & jnp.asarray(allowed)[slot_all]
     denom = v_hi - v_lo
     denom = jnp.where(jnp.abs(denom) < 1e-12, jnp.float32(1e-12), denom)
     tq = jnp.clip((level - v_lo) / denom, 0.0, 1.0)
@@ -401,6 +414,9 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
     vol = jnp.asarray(volume, jnp.float32)
     X, Y, Z = vol.shape
     tpc = _ALGOS[algorithm]["tris_per_cell"]
+    ns = _ALGOS[algorithm]["n_slots"]
+    slot_off = _ALGOS[algorithm]["slot_off"]
+    slot_delta = _ALGOS[algorithm]["slot_delta"]
     bkey = (X, Y, Z, max_cells, algorithm)
     bucket = _LAST_CELL_BUCKET.get(bkey)
     if bucket is None:
@@ -418,7 +434,7 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
         # buffers shrink to the cell bucket too (finalize is linear in
         # these caps)
         mt = min(max_tris, tpc * mc)
-        mv = min(max_verts, N_SLOTS * mc)
+        mv = min(max_verts, ns * mc)
         out = _march_core(vol.reshape(-1), float(level), (X, Y, Z),
                           mc, mt, mv, cell_chunk, algorithm)
         counts = tuple(map(int, jax.device_get(out[5:9])))
@@ -433,7 +449,7 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
                 f"marching_tetrahedra_device capacity exceeded: cells "
                 f"{nc}/{max_cells}, tris {nt}/{max_tris}, verts "
                 f"{nv}/{max_verts}")
-        need = max(nc, -(-nt // tpc), -(-nv // N_SLOTS))
+        need = max(nc, -(-nt // tpc), -(-nv // ns))
         bucket = min(max_cells, _bucket(need, 1 << 15))
         out, mc, mt, mv, (nv, nf, nc, nt) = run(bucket)
         if nc > mc or nt > mt or nv > mv:
@@ -462,13 +478,13 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
         comp = np.asarray(jax.device_get(slices[4]))
         # decode vertices: replay lo + t * delta in f32 (bit-identical
         # to the device formula)
-        rank = vid // N_SLOTS
-        slot = vid % N_SLOTS
+        rank = vid // ns
+        slot = vid % ns
         gid = comp[rank]
         base = np.stack([gid // (Y * Z), (gid // Z) % Y, gid % Z], 1)
-        lo = (base + _SLOT_OFF[slot]).astype(np.float32)
+        lo = (base + slot_off[slot]).astype(np.float32)
         verts = lo + t[:, None].astype(np.float32) \
-            * _SLOT_DELTA[slot].astype(np.float32)
+            * slot_delta[slot].astype(np.float32)
         f0 = (w0h & 0x1FFFFF).astype(np.int64)
         f1 = ((w0h >> 21) | ((w1h & 0x3FF) << 11)).astype(np.int64)
         f2 = ((w1h >> 10) & 0x1FFFFF).astype(np.int64)
@@ -492,10 +508,10 @@ def marching_tetrahedra_device(volume, level: float = 0.5,
     static capacity overflows (increase the caps or use the host
     backend — random/noise fields activate nearly every cell).
 
-    The vertex-weld domain scales with max_cells, so the actual cell
-    count is measured first (one tiny program + scalar fetch) and the
-    core runs at the smallest power-of-two bucket that fits — the
-    finalize pass touches ~19 x cells slots, not 19 x the worst case.
+    The vertex-weld domain scales with max_cells * n_slots (19 for
+    tets, 12 for cubes), so the actual cell count is measured first
+    (one tiny program + scalar fetch) and the core runs at the
+    smallest power-of-two bucket that fits.
     """
     return marching_tetrahedra_device_begin(
         volume, level, max_cells, max_tris, max_verts, cell_chunk,
