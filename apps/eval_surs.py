@@ -59,12 +59,9 @@ def main():
             # --no_use_octree: dense evaluation takes the column-shared
             # kernel whenever the calib is axis-aligned (recon/
             # evaluator.eval_grid_dense_cols, ~3.8x fewer MACs/query)
-            cols_w = prepare_fused_weights(
-                params["mlp_lr"], params["mlp_hr"], cfg.mlp_dim_lr,
-                cfg.mlp_dim_hr, cfg.mlp_res_layers_lr,
-                cfg.mlp_res_layers_hr, dtype=kdt,
-                base_split=(cfg.hg_dim,
-                            cfg.mlp_dim_lr[0] - cfg.hg_dim - 1, 1))
+            from surs_tpu.ops.fused_mlp import prepare_cols_weights
+            cols_w = prepare_cols_weights(
+                params["mlp_lr"], params["mlp_hr"], cfg=cfg, dtype=kdt)
     else:
         pack = False
 

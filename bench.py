@@ -118,12 +118,10 @@ def main():
     from surs_tpu.recon.pipeline import Reconstructor
     # column-shared dense weights (base_split (C_lr, C_hr, 1)): the
     # dense evaluator's fast path (evaluator.eval_grid_dense_cols)
-    fw3 = prepare_fused_weights(
-        params["mlp_lr"], params["mlp_hr"], cfg.mlp_dim_lr,
-        cfg.mlp_dim_hr, cfg.mlp_res_layers_lr, cfg.mlp_res_layers_hr,
-        dtype=jnp.bfloat16,
-        base_split=(cfg.hg_dim, cfg.mlp_dim_lr[0] - cfg.hg_dim - 1, 1)
-    ) if on_tpu else None
+    from surs_tpu.ops.fused_mlp import prepare_cols_weights
+    fw3 = prepare_cols_weights(
+        params["mlp_lr"], params["mlp_hr"], cfg=cfg,
+        dtype=jnp.bfloat16) if on_tpu else None
     rec = Reconstructor(model, query_fn=query_fn,
                         feature_dtype=jnp.bfloat16 if on_tpu else None,
                         feature_pack=on_tpu,
@@ -410,7 +408,11 @@ def bench_train_step(cfg, log, n_steps: int = 8):
     for name, step in (("fused", make_fused_train_step(model, opt)),
                        ("xla", make_train_step(model, opt))):
         @jax.jit
-        def chained(state, batch, step=step):
+        def chained(state, batch, jitter, step=step):
+            # jitter breaks dispatch identity between repeats (this
+            # backend elides repeated identical dispatches, CLAUDE.md)
+            batch = dict(batch,
+                         points_lr=batch["points_lr"] + jitter)
             def body(carry, _):
                 st, _ = carry
                 st, m = step(st, batch)
@@ -419,12 +421,12 @@ def bench_train_step(cfg, log, n_steps: int = 8):
                                          None, length=n_steps)
             return loss
         t0 = time.time()
-        float(chained(state0, batch))
+        float(chained(state0, batch, jnp.float32(0.0)))
         log(f"train[{name}] compiled+ran in {time.time() - t0:.1f}s")
         best = 1e30
-        for _ in range(2):
+        for rep in range(2):
             t0 = time.time()
-            float(chained(state0, batch))
+            float(chained(state0, batch, jnp.float32(1e-6 * (rep + 1))))
             best = min(best, time.time() - t0)
         out[name] = round(best / n_steps * 1e3, 2)
         log(f"train[{name}] steady {out[name]} ms/step")

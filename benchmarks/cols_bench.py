@@ -24,8 +24,6 @@ from surs_tpu.ops.point_query import make_fused_query_fn  # noqa: E402
 from surs_tpu.recon.pipeline import Reconstructor  # noqa: E402
 
 R = int(os.environ.get("COLS_R", "512"))
-CB = int(os.environ.get("COLS_CB", "2"))
-CHUNK_COLS = int(os.environ.get("COLS_CHUNK", "1024"))
 
 cfg = SuRSConfig(loadSize=512, residual=True, resolution=R,
                  num_samples=262144,
@@ -63,9 +61,9 @@ rec = Reconstructor(model, query_fn=qf, feature_dtype=jnp.bfloat16,
                     feature_pack=True)
 
 # cols path
-fw3 = prepare_fused_weights(params["mlp_lr"], params["mlp_hr"],
-                            cfg.mlp_dim_lr, cfg.mlp_dim_hr,
-                            dtype=jnp.bfloat16, base_split=(256, 64, 1))
+from surs_tpu.ops.fused_mlp import prepare_cols_weights  # noqa: E402
+fw3 = prepare_cols_weights(params["mlp_lr"], params["mlp_hr"], cfg=cfg,
+                           dtype=jnp.bfloat16)
 rec_c = Reconstructor(model, feature_dtype=jnp.bfloat16,
                       cols_weights=fw3, load_size=cfg.loadSize,
                       z_size=cfg.z_size)

@@ -219,12 +219,15 @@ def import_torch_state_dict(state_dict: Dict[str, np.ndarray],
     for path, val in flat.items():
         if path[-1] in ("mean", "var"):
             if stats_mutable is None:
-                raise ValueError(
-                    f"checkpoint carries batch-norm running stats "
-                    f"({'/'.join(p for p in path if p != _NORM_DIR)}) — "
-                    f"pass the model's batch_stats tree via the "
-                    f"batch_stats argument to import them (Flax keeps "
-                    f"them outside 'params')")
+                if strict:
+                    raise ValueError(
+                        f"checkpoint carries batch-norm running stats "
+                        f"({'/'.join(p for p in path if p != _NORM_DIR)})"
+                        f" — pass the model's batch_stats tree via the "
+                        f"batch_stats argument to import them (Flax "
+                        f"keeps them outside 'params')")
+                continue      # lenient partial import: skip like any
+                              # other unmatched leaf
             if assign(stats_mutable, path, val):
                 n += 1
         elif assign(mutable, path, val):

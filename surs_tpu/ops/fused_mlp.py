@@ -412,6 +412,26 @@ def make_fused_dual_mlp_train_ad(block_n: int = 512,
     return op
 
 
+def prepare_cols_weights(params_mlp_lr, params_mlp_hr, cfg=None,
+                         dims_lr=None, dims_hr=None, hg_dim: int = 256,
+                         res_layers_lr=(2, 3, 4), res_layers_hr=(2, 3, 4),
+                         dtype=jnp.bfloat16) -> FusedWeights:
+    """FusedWeights for the column-shared kernel: the single source of
+    the (C_lr, C_hr, 1) base split (lr features | hr features | depth)
+    every cols-path call site needs. Pass ``cfg`` (SuRSConfig) or the
+    explicit dims."""
+    if cfg is not None:
+        dims_lr = cfg.mlp_dim_lr
+        dims_hr = cfg.mlp_dim_hr
+        hg_dim = cfg.hg_dim
+        res_layers_lr = cfg.mlp_res_layers_lr
+        res_layers_hr = cfg.mlp_res_layers_hr
+    return prepare_fused_weights(
+        params_mlp_lr, params_mlp_hr, dims_lr, dims_hr,
+        res_layers_lr, res_layers_hr, dtype=dtype,
+        base_split=(hg_dim, tuple(dims_lr)[0] - hg_dim - 1, 1))
+
+
 # --------------------------------------------------------------------------
 # Column-shared evaluation (projective structure).
 #

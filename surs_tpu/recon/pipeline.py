@@ -161,7 +161,13 @@ class Reconstructor:
         if not use_octree and self.cols_weights is not None:
             from .evaluator import (dense_cols_separable,
                                     eval_grid_dense_cols)
-            if dense_cols_separable(calib, mat):
+            # the Pallas kernel's z sub-blocking is validated for
+            # lane-aligned depths (production 128/256/512); odd
+            # resolutions keep the generic per-point path on TPU
+            # (the CPU XLA twin handles any R)
+            res_ok = (resolution % 128 == 0
+                      or jax.default_backend() == "cpu")
+            if res_ok and dense_cols_separable(calib, mat):
                 f_lr, f_hr = feats_lr[-1], feat_hr
                 if self.feature_dtype is not None:
                     f_lr = f_lr.astype(self.feature_dtype)
@@ -312,8 +318,13 @@ def _get_reconstructor(model: SuRSNet, query_fn, feature_dtype=None,
                        octree_mode: str = "hostloop",
                        cols_weights=None, load_size=None,
                        z_size=None) -> Reconstructor:
+    # id() is safe for cols_weights here: the cached Reconstructor keeps
+    # the object alive, so its id cannot be recycled while the entry
+    # exists (unlike the free-floating id() keys this cache avoids)
     key = (model, query_fn, str(feature_dtype), feature_pack,
-           octree_mode, cols_weights is not None)
+           octree_mode,
+           None if cols_weights is None else id(cols_weights),
+           load_size, z_size)
     if key not in _RECON_CACHE:
         _RECON_CACHE[key] = Reconstructor(model, query_fn,
                                           octree_mode=octree_mode,

@@ -52,10 +52,15 @@ def render_views(verts: np.ndarray, faces: np.ndarray, load_size: int,
         param = cam.param_dict()
         uv = jnp.asarray(cam.world_to_uv(np.asarray(verts), load_size))
         if prt_j is not None:
-            from .prt import sh_rotation_matrix
+            from .prt import sh_rotation_matrix, RAW_TO_CONV
             M = sh_rotation_matrix(param["R"])
-            shade = jnp.clip((prt_j @ jnp.asarray(M))
-                             @ jnp.asarray(sh_coeffs, jnp.float32),
+            # the transfer vectors live in the cosine-CONVOLVED basis
+            # (irradiance_basis amplitudes) while sh_shading evaluates
+            # the RAW Y9 basis — rescale the lighting per band so the
+            # same sh_coeffs give matching exposure on both paths
+            sh_prt = (jnp.asarray(sh_coeffs, jnp.float32).T
+                      / jnp.asarray(RAW_TO_CONV)).T
+            shade = jnp.clip((prt_j @ jnp.asarray(M)) @ sh_prt,
                              0.0, None)
         else:
             # rotate normals into camera space for shading

@@ -40,6 +40,14 @@ import jax.numpy as jnp
 from .shading import sh9_basis, vertex_normals
 
 
+# Per-band ratio conv/raw between the cosine-convolved irradiance basis
+# (evaluateH amplitudes) and the raw Y9 basis: the classic A_hat_l =
+# [pi, 2*pi/3, pi/4]. Lighting tuned for one basis converts to the
+# other by dividing/multiplying per band.
+RAW_TO_CONV = np.array([np.pi] + [2.0 * np.pi / 3.0] * 3
+                       + [np.pi / 4.0] * 5, np.float32)
+
+
 def irradiance_basis(n: jnp.ndarray) -> jnp.ndarray:
     """``evaluateH``: the analytic clamped-cosine-convolved SH9 basis at
     unit normals ``n`` [V, 3] -> [V, 9]. Matches prt.fs:44-58 exactly
@@ -123,7 +131,7 @@ def _visibility(origins, normals, dirs, occ, b_min, inv_cell,
 
 def compute_prt(verts: np.ndarray, faces: np.ndarray,
                 n_dirs: int = 128, grid: int = 96,
-                n_steps: int = 48, eps_cells: float = 2.0,
+                n_steps: Optional[int] = None, eps_cells: float = 2.0,
                 vert_chunk: int = 4096,
                 normals: Optional[np.ndarray] = None) -> np.ndarray:
     """Per-vertex shadowed diffuse transfer vectors [V, 9].
@@ -144,6 +152,10 @@ def compute_prt(verts: np.ndarray, faces: np.ndarray,
     diag = float(np.linalg.norm(cell))
     t0 = eps_cells * diag
     t1 = float(np.linalg.norm(verts.max(0) - verts.min(0))) + 2 * diag
+    if n_steps is None:
+        # sub-voxel march: a coarser stride tunnels through occluders
+        # thinner than the step (hands/cloth a few voxels thick)
+        n_steps = int(np.ceil((t1 - t0) / (0.7 * float(cell.min()))))
 
     dirs = jnp.asarray(fibonacci_sphere(n_dirs))
     Y = sh9_basis(dirs)                                  # [D, 9]

@@ -80,13 +80,10 @@ class SuRSService:
             if not cfg.use_octree:
                 # dense serving takes the column-shared evaluator when
                 # the calib is axis-aligned (recon/evaluator.py)
-                cols_w = prepare_fused_weights(
+                from .ops.fused_mlp import prepare_cols_weights
+                cols_w = prepare_cols_weights(
                     self.params["mlp_lr"], self.params["mlp_hr"],
-                    cfg.mlp_dim_lr, cfg.mlp_dim_hr,
-                    cfg.mlp_res_layers_lr, cfg.mlp_res_layers_hr,
-                    dtype=kdt,
-                    base_split=(cfg.hg_dim,
-                                cfg.mlp_dim_lr[0] - cfg.hg_dim - 1, 1))
+                    cfg=cfg, dtype=kdt)
         else:
             pack = False
         self.rec = Reconstructor(self.model, query_fn=query_fn,

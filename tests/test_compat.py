@@ -128,13 +128,17 @@ def test_batchnorm_checkpoint_imports_into_batch_model():
 
 
 def test_batchnorm_stats_without_tree_raise_clearly():
-    """Running stats with no batch_stats tree must raise, not vanish."""
+    """Strict: running stats with no batch_stats tree raise with a
+    clear message; lenient partial imports skip them like any other
+    unmatched leaf."""
     import pytest
     net, params = init_tiny_params()  # group-norm model
     sd = {"image_filter_lr.m0.b1_2.bn1.running_mean":
           np.zeros(8, np.float32)}
     with pytest.raises(ValueError, match="batch_stats"):
-        import_torch_state_dict(sd, params, strict=False)
+        import_torch_state_dict(sd, params, strict=True)
+    _, n = import_torch_state_dict(sd, params, strict=False)
+    assert n == 0
 
 
 def test_resblock_and_tail_mapping():
