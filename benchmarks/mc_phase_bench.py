@@ -1,0 +1,171 @@
+import sys, os, time
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), '..')))
+"""Phase anatomy of the device isosurface extractor.
+
+Splits _march_core into its three phases (active-cell compaction /
+triangle emission loop / vertex finalize + face remap), jits each
+separately and times them fetch-synced on the humanoid volume, at both
+the synthetic-benchmark scale (~200k cells) and a trained-subject-like
+scale (detail cranked up, ~600-800k cells). Guides kernel optimization;
+the production path stays the single fused _march_core program.
+"""
+import numpy as np, jax, jax.numpy as jnp
+from jax import lax
+from surs_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+from surs_tpu.utils.synth import humanoid_volume
+import surs_tpu.recon.tetra_device as td
+
+R = int(os.environ.get("MC_PHASE_RES", "512"))
+ALGO = os.environ.get("MC_PHASE_ALGO", "cubes")
+CHUNK = int(os.environ.get("MC_PHASE_CHUNK", str(1 << 16)))
+
+
+def fetch(x):
+    return float(jnp.asarray(x).reshape(-1)[0])
+
+
+def timed(label, fn, *args, reps=3):
+    out = fn(*args)
+    jax.tree_util.tree_map(lambda a: a.block_until_ready(), out)
+    fetch(out[0] if isinstance(out, tuple) else out)
+    best = 1e30
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(*args)
+        fetch(out[0] if isinstance(out, tuple) else out)
+        best = min(best, time.time() - t0)
+    print(f"  {label:<46s} {best*1e3:8.1f} ms", flush=True)
+    return out
+
+
+spec = td._ALGOS[ALGO]
+n_slots = spec["n_slots"]
+tpc = spec["tris_per_cell"]
+
+for detail, tag in ((0.012, "benchmark humanoid"),
+                    (0.05, "rough trained-like")):
+    vol = humanoid_volume(R, detail=detail)
+    vol_flat = vol.reshape(-1)
+    fetch(vol[0, 0, 0])
+    X = Y = Z = R
+    XYZ = R ** 3
+    n_cells = int(jax.device_get(
+        td._count_cells(vol_flat, 0.5, (R, R, R))))
+    bucket = td._bucket(n_cells, 1 << 15)
+    mc = bucket
+    mt = tpc * mc
+    mv = n_slots * mc
+    print(f"--- {tag}: {n_cells} cells, bucket {bucket} ---", flush=True)
+
+    @jax.jit
+    def phase1(vol_flat):
+        act = td._cells_active(vol_flat.reshape(X, Y, Z),
+                               jnp.float32(0.5)).reshape(-1)
+        compact, n_cells = td._compact_capped(act, mc)
+        m = jnp.arange(mc, dtype=jnp.int32)
+        tgt = jnp.where(m < jnp.minimum(n_cells, mc), compact[:-1], XYZ)
+        rank_lat = jnp.zeros((XYZ,), jnp.int32).at[tgt].set(
+            m, mode="drop")
+        return compact, rank_lat, n_cells
+
+    compact, rank_lat, nc = timed("phase1 active+compact+rank_lat",
+                                  phase1, vol_flat)
+
+    @jax.jit
+    def phase2(vol_flat, compact, rank_lat, n_cells):
+        na = jnp.minimum(n_cells, mc)
+        num_chunks = (na + CHUNK - 1) // CHUNK
+        fbuf0 = tuple(jnp.zeros((mt + 1,), jnp.int32) for _ in range(3))
+
+        def body(carry):
+            f0, f1, f2, n_tris, c = carry
+            idx = c * CHUNK + jnp.arange(CHUNK, dtype=jnp.int32)
+            cell_valid = idx < na
+            gids = compact[jnp.minimum(idx, mc)]
+            v0, v1, v2, valid = td._emit_cells(
+                vol_flat, gids, cell_valid, rank_lat, jnp.float32(0.5),
+                (X, Y, Z), ALGO)
+            pos = n_tris + jnp.cumsum(valid.astype(jnp.int32)) - 1
+            ftgt = jnp.where(valid & (pos < mt), pos, mt)
+            f0 = f0.at[ftgt].set(v0, mode="drop")
+            f1 = f1.at[ftgt].set(v1, mode="drop")
+            f2 = f2.at[ftgt].set(v2, mode="drop")
+            n_tris = n_tris + jnp.sum(valid.astype(jnp.int32))
+            return f0, f1, f2, n_tris, c + 1
+
+        f0, f1, f2, n_tris, _ = lax.while_loop(
+            lambda ca: ca[4] < num_chunks, body,
+            fbuf0 + (jnp.int32(0), jnp.int32(0)))
+        return f0, f1, f2, n_tris
+
+    f0, f1, f2, n_tris = timed(f"phase2 emit loop (chunk {CHUNK})",
+                               phase2, vol_flat, compact, rank_lat, nc)
+
+    @jax.jit
+    def phase3(vol_flat, compact, f0, f1, f2, n_tris, n_cells):
+        n_vid = mc * n_slots
+        na = jnp.minimum(n_cells, mc)
+        rank_all = jnp.arange(n_vid, dtype=jnp.int32) // n_slots
+        slot_all = jnp.arange(n_vid, dtype=jnp.int32) % n_slots
+        gid_all = compact[jnp.minimum(rank_all, mc)]
+        bz = gid_all % Z
+        by = (gid_all // Z) % Y
+        bx = gid_all // (Y * Z)
+        offq = [jnp.asarray(spec["slot_off"][:, c])[slot_all]
+                for c in range(3)]
+        dq = [jnp.asarray(spec["slot_delta"][:, c])[slot_all]
+              for c in range(3)]
+        lox = bx + offq[0]
+        loy = by + offq[1]
+        loz = bz + offq[2]
+        gid_lo = (lox * Y + loy) * Z + loz
+        gid_hi = ((lox + dq[0]) * Y + (loy + dq[1])) * Z + (loz + dq[2])
+        v_lo = vol_flat[gid_lo]
+        v_hi = vol_flat[gid_hi]
+        in_lo = v_lo > 0.5
+        in_hi = v_hi > 0.5
+        own_ok = (((offq[0] == 0) | (bx == X - 2))
+                  & ((offq[1] == 0) | (by == Y - 2))
+                  & ((offq[2] == 0) | (bz == Z - 2)))
+        present = (in_lo != in_hi) & own_ok & (rank_all < na)
+        denom = v_hi - v_lo
+        denom = jnp.where(jnp.abs(denom) < 1e-12, jnp.float32(1e-12),
+                          denom)
+        tq = jnp.clip((0.5 - v_lo) / denom, 0.0, 1.0)
+        n_verts = jnp.sum(present.astype(jnp.int32))
+        vpos = jnp.cumsum(present.astype(jnp.int32)) - 1
+        remap = jnp.where(present, vpos, -1)
+        vtgt = jnp.where(present & (vpos < mv), vpos, mv)
+        vid_of = jnp.zeros((mv + 1,), jnp.int32).at[vtgt].set(
+            jnp.arange(n_vid, dtype=jnp.int32), mode="drop")[:mv]
+        t_of = jnp.zeros((mv + 1,), jnp.float32).at[vtgt].set(
+            tq, mode="drop")[:mv]
+        nt = jnp.minimum(n_tris, mt)
+        g0 = remap[jnp.minimum(f0[:mt], n_vid - 1)]
+        g1 = remap[jnp.minimum(f1[:mt], n_vid - 1)]
+        g2 = remap[jnp.minimum(f2[:mt], n_vid - 1)]
+        tri_ok = ((jnp.arange(mt) < nt)
+                  & (g0 != g1) & (g1 != g2) & (g0 != g2))
+        fpos = jnp.cumsum(tri_ok.astype(jnp.int32)) - 1
+        ftgt = jnp.where(tri_ok, fpos, mt)
+        w0 = g0 | (g1 << 21)
+        w1 = (g1 >> 11) | (g2 << 10)
+        fo = [jnp.zeros((mt + 1,), jnp.int32)
+              .at[ftgt].set(w, mode="drop")[:mt] for w in (w0, w1)]
+        n_faces = jnp.sum(tri_ok.astype(jnp.int32))
+        return vid_of, t_of, fo[0], fo[1], n_verts, n_faces
+
+    out = timed("phase3 finalize (verts + face remap)",
+                phase3, vol_flat, compact, f0, f1, f2, n_tris, nc)
+    print(f"  verts {int(jax.device_get(out[4]))} "
+          f"faces {int(jax.device_get(out[5]))}", flush=True)
+
+    # fused reference
+    t0 = time.time()
+    td.marching_tetrahedra_device(vol, 0.5, algorithm=ALGO)
+    td._LAST_CELL_BUCKET.clear()
+    t0 = time.time()
+    td.marching_tetrahedra_device(vol, 0.5, algorithm=ALGO)
+    print(f"  fused end-to-end (incl. count+wire+decode) "
+          f"{(time.time()-t0)*1e3:8.1f} ms", flush=True)

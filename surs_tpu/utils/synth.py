@@ -53,7 +53,7 @@ def humanoid_sdf_jnp(px, py, pz, detail: float = 0.0):
     return d
 
 
-@functools.partial(jax.jit, static_argnames=("resolution",))
+@functools.partial(jax.jit, static_argnames=("resolution", "detail"))
 def humanoid_volume(resolution: int, detail: float = 0.012,
                     lo: float = -1.0, hi: float = 1.0) -> jnp.ndarray:
     """[R, R, R] occupancy-style volume (0.5 + inside-distance) on
