@@ -2,12 +2,13 @@ import sys, os, time
 sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), '..')))
 """Phase anatomy of the device isosurface extractor.
 
-Splits _march_core into its three phases (active-cell compaction /
-triangle emission loop / vertex finalize + face remap), jits each
-separately and times them fetch-synced on the humanoid volume, at both
-the synthetic-benchmark scale (~200k cells) and a trained-subject-like
-scale (detail cranked up, ~600-800k cells). Guides kernel optimization;
-the production path stays the single fused _march_core program.
+Splits _march_core into its three phases (active-cell/point compaction,
+triangle emission loop, slot-major vertex finalize + face remap), jits
+each separately and times them fetch-synced on the humanoid volume, at
+both the synthetic-benchmark scale (~200k cells) and a
+trained-subject-like scale (detail cranked up, ~600-800k cells). Guides
+kernel optimization; the production path stays the single fused
+_march_core program.
 """
 import numpy as np, jax, jax.numpy as jnp
 from jax import lax
@@ -42,6 +43,7 @@ def timed(label, fn, *args, reps=3):
 spec = td._ALGOS[ALGO]
 n_slots = spec["n_slots"]
 tpc = spec["tris_per_cell"]
+deltas = spec["deltas"]
 
 for detail, tag in ((0.012, "benchmark humanoid"),
                     (0.05, "rough trained-like")):
@@ -50,30 +52,35 @@ for detail, tag in ((0.012, "benchmark humanoid"),
     fetch(vol[0, 0, 0])
     X = Y = Z = R
     XYZ = R ** 3
-    n_cells = int(jax.device_get(
-        td._count_cells(vol_flat, 0.5, (R, R, R))))
-    bucket = td._bucket(n_cells, 1 << 15)
-    mc = bucket
+    n_cells, n_pts = map(int, jax.device_get(
+        td._count_cells(vol_flat, 0.5, (R, R, R), ALGO)))
+    mc = td._bucket(n_cells, 1 << 15)
+    mp = td._bucket(n_pts, 1 << 15)
     mt = tpc * mc
-    mv = n_slots * mc
-    print(f"--- {tag}: {n_cells} cells, bucket {bucket} ---", flush=True)
+    mv = n_slots * mp
+    n_vid = n_slots * mp
+    print(f"--- {tag}: {n_cells} cells, {n_pts} pts, "
+          f"buckets {mc}/{mp} ---", flush=True)
 
     @jax.jit
     def phase1(vol_flat):
-        act = td._cells_active(vol_flat.reshape(X, Y, Z),
-                               jnp.float32(0.5)).reshape(-1)
+        vol3 = vol_flat.reshape(X, Y, Z)
+        act = td._cells_active(vol3, jnp.float32(0.5)).reshape(-1)
         compact, n_cells = td._compact_capped(act, mc)
-        m = jnp.arange(mc, dtype=jnp.int32)
-        tgt = jnp.where(m < jnp.minimum(n_cells, mc), compact[:-1], XYZ)
-        rank_lat = jnp.zeros((XYZ,), jnp.int32).at[tgt].set(
+        pt = td._points_active(vol3, jnp.float32(0.5),
+                               deltas).reshape(-1)
+        compact_p, n_pts = td._compact_capped(pt, mp)
+        m = jnp.arange(mp, dtype=jnp.int32)
+        ptgt = jnp.where(m < jnp.minimum(n_pts, mp), compact_p[:-1], XYZ)
+        rankp_lat = jnp.zeros((XYZ,), jnp.int32).at[ptgt].set(
             m, mode="drop")
-        return compact, rank_lat, n_cells
+        return compact, compact_p, rankp_lat, n_cells, n_pts
 
-    compact, rank_lat, nc = timed("phase1 active+compact+rank_lat",
-                                  phase1, vol_flat)
+    compact, compact_p, rankp_lat, nc, npts = timed(
+        "phase1 active+compact x2 + rank lattice", phase1, vol_flat)
 
     @jax.jit
-    def phase2(vol_flat, compact, rank_lat, n_cells):
+    def phase2(vol_flat, compact, rankp_lat, n_cells):
         na = jnp.minimum(n_cells, mc)
         num_chunks = (na + CHUNK - 1) // CHUNK
         fbuf0 = tuple(jnp.zeros((mt + 1,), jnp.int32) for _ in range(3))
@@ -84,8 +91,8 @@ for detail, tag in ((0.012, "benchmark humanoid"),
             cell_valid = idx < na
             gids = compact[jnp.minimum(idx, mc)]
             v0, v1, v2, valid = td._emit_cells(
-                vol_flat, gids, cell_valid, rank_lat, jnp.float32(0.5),
-                (X, Y, Z), ALGO)
+                vol_flat, gids, cell_valid, rankp_lat, jnp.float32(0.5),
+                (X, Y, Z), mp, ALGO)
             pos = n_tris + jnp.cumsum(valid.astype(jnp.int32)) - 1
             ftgt = jnp.where(valid & (pos < mt), pos, mt)
             f0 = f0.at[ftgt].set(v0, mode="drop")
@@ -100,39 +107,37 @@ for detail, tag in ((0.012, "benchmark humanoid"),
         return f0, f1, f2, n_tris
 
     f0, f1, f2, n_tris = timed(f"phase2 emit loop (chunk {CHUNK})",
-                               phase2, vol_flat, compact, rank_lat, nc)
+                               phase2, vol_flat, compact, rankp_lat, nc)
 
     @jax.jit
-    def phase3(vol_flat, compact, f0, f1, f2, n_tris, n_cells):
-        n_vid = mc * n_slots
-        na = jnp.minimum(n_cells, mc)
-        rank_all = jnp.arange(n_vid, dtype=jnp.int32) // n_slots
-        slot_all = jnp.arange(n_vid, dtype=jnp.int32) % n_slots
-        gid_all = compact[jnp.minimum(rank_all, mc)]
-        bz = gid_all % Z
-        by = (gid_all // Z) % Y
-        bx = gid_all // (Y * Z)
-        offq = [jnp.asarray(spec["slot_off"][:, c])[slot_all]
-                for c in range(3)]
-        dq = [jnp.asarray(spec["slot_delta"][:, c])[slot_all]
-              for c in range(3)]
-        lox = bx + offq[0]
-        loy = by + offq[1]
-        loz = bz + offq[2]
-        gid_lo = (lox * Y + loy) * Z + loz
-        gid_hi = ((lox + dq[0]) * Y + (loy + dq[1])) * Z + (loz + dq[2])
-        v_lo = vol_flat[gid_lo]
-        v_hi = vol_flat[gid_hi]
-        in_lo = v_lo > 0.5
-        in_hi = v_hi > 0.5
-        own_ok = (((offq[0] == 0) | (bx == X - 2))
-                  & ((offq[1] == 0) | (by == Y - 2))
-                  & ((offq[2] == 0) | (bz == Z - 2)))
-        present = (in_lo != in_hi) & own_ok & (rank_all < na)
-        denom = v_hi - v_lo
-        denom = jnp.where(jnp.abs(denom) < 1e-12, jnp.float32(1e-12),
-                          denom)
-        tq = jnp.clip((0.5 - v_lo) / denom, 0.0, 1.0)
+    def phase3(vol_flat, compact_p, f0, f1, f2, n_tris, n_pts):
+        # slot-major dense finalize over the compacted crossing points
+        gidp = compact_p[:mp]
+        pz = gidp % Z
+        py = (gidp // Z) % Y
+        px = gidp // (Y * Z)
+        v0p = vol_flat[gidp]
+        in0p = v0p > 0.5
+        mp_ = jnp.arange(mp, dtype=jnp.int32)
+        pok = mp_ < jnp.minimum(n_pts, mp)
+        pres_parts, tq_parts = [], []
+        for dx, dy, dz in deltas:
+            step = (dx * Y + dy) * Z + dz
+            inb = pok
+            if dx:
+                inb = inb & (px < X - 1)
+            if dy:
+                inb = inb & (py < Y - 1)
+            if dz:
+                inb = inb & (pz < Z - 1)
+            vhi = vol_flat[jnp.where(inb, gidp + step, 0)]
+            pres_parts.append(((vhi > 0.5) != in0p) & inb)
+            denom = vhi - v0p
+            denom = jnp.where(jnp.abs(denom) < 1e-12,
+                              jnp.float32(1e-12), denom)
+            tq_parts.append(jnp.clip((0.5 - v0p) / denom, 0.0, 1.0))
+        present = jnp.concatenate(pres_parts)
+        tq = jnp.concatenate(tq_parts)
         n_verts = jnp.sum(present.astype(jnp.int32))
         vpos = jnp.cumsum(present.astype(jnp.int32)) - 1
         remap = jnp.where(present, vpos, -1)
@@ -157,7 +162,7 @@ for detail, tag in ((0.012, "benchmark humanoid"),
         return vid_of, t_of, fo[0], fo[1], n_verts, n_faces
 
     out = timed("phase3 finalize (verts + face remap)",
-                phase3, vol_flat, compact, f0, f1, f2, n_tris, nc)
+                phase3, vol_flat, compact_p, f0, f1, f2, n_tris, npts)
     print(f"  verts {int(jax.device_get(out[4]))} "
           f"faces {int(jax.device_get(out[5]))}", flush=True)
 

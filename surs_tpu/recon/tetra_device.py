@@ -1,26 +1,40 @@
-"""Device-resident marching tetrahedra (JAX/TPU).
+r"""Device-resident isosurface extraction (JAX/TPU).
 
 The reference extracts meshes on the host with skimage marching cubes
 (lib/mesh_util.py:40,45) after shipping the full occupancy volume off
 the GPU. At the 512^3 operating point that is two 536 MB device->host
 transfers plus seconds of single-core host work per mesh — the largest
 remaining cost of the reconstruction pipeline once field evaluation is
-fast. This module runs the same marching-tetrahedra algorithm as
-``tetra.py`` (identical tables, identical output mesh) entirely on
-device; only the final packed vertex/face buffers cross to the host.
+fast. This module runs marching tetrahedra (same tables as ``tetra.py``,
+identical output mesh) and classic marching cubes (``mc_tables.py``)
+entirely on device; only packed vertex/face buffers cross to the host.
 
-TPU design notes:
+TPU design notes — the kernel is GATHER-DESCRIPTOR-bound, not
+byte- or FLOP-bound (~14 ns per random index into an HBM array, ~9 ns
+per scatter attempt, measured in benchmarks/gather_rate_bench.py), so
+every structure below exists to minimize random-access descriptors:
 
-  * Active cells are found with shifted-slice min/max reductions and
-    compacted with one cumsum+scatter pass — no host loop.
-  * Vertex welding needs NO sort: every tet edge of the 6-tetrahedra
-    decomposition runs between cell corners ``emin -> emin + delta``
-    with ``delta`` componentwise in {0,1}; its canonical id is
-    ``(owner cell, slot)`` where the owner is the active cell based at
-    ``clip(emin, dims-2)`` (always active: it contains both straddling
-    corners) and ``slot`` indexes the 19 possible ``(emin - owner,
-    delta)`` pairs — exactly the cell's 19 decomposition edges. A
-    ``rank * 19`` scatter table replaces the host's np.unique.
+  * Active cells are found with shifted-slice min/max stencils (dense)
+    and compacted hierarchically (block summary + per-group point
+    compaction with a group size adapted to the dirty-block count).
+  * Vertex welding needs NO sort and no slot lut: every emitted edge
+    runs from its componentwise-min corner ``p`` along a delta in
+    {0,1}^3 \ {0}, so ``(p, delta)`` is already canonical. Crossing
+    low-corner points are compacted once (a second dense stencil) and
+    a point-rank lattice gives every edge the id
+    ``slot * max_pts + rank(p)`` — 3 slots for cubes (axis edges),
+    7 for tets (axis + diagonal edges).
+  * The emission loop gathers per cell only its 8 corner values and 8
+    corner point-ranks (corner-major [8, K]: a [K, 8] layout would
+    tile-pad 8 -> 128 lanes); the per-case tessellation is ONE packed
+    int32 table word per (group, tri-slot) — emin bits, slot id and
+    valid bit — instead of per-vertex corner-id table lookups.
+  * The finalize pass is slot-major and dense: per slot, presence and
+    the interpolation parameter come from one gather of the slot's
+    far-end value; no per-edge owner arithmetic, no 19-way lut.
+  * Triangle capacity is bucketed to the PREVIOUS extraction's count
+    (speculative, like the cell bucket): face buffers, remap gathers
+    and face scatters shrink ~3x vs the worst-case tris_per_cell cap.
   * Everything is 1-D component-wise: a device array shaped [N, 3]
     takes the (8, 128) tiled layout, padding the minor dim 3 -> 128 —
     a 42x memory blowup that at 512^3 is a 20 GB allocation. So
@@ -29,7 +43,8 @@ TPU design notes:
   * Static shapes throughout: capacities are compile-time parameters
     and overflow is detected on the host from the returned counts.
 
-Tables are imported from ``tetra.py`` so both backends cannot drift.
+Tables are imported from ``tetra.py``/``mc_tables.py`` so the host and
+device backends cannot drift.
 """
 
 from __future__ import annotations
@@ -43,46 +58,29 @@ import jax.numpy as jnp
 from jax import lax
 
 from .tetra import _CORNER_OFFSETS, _TETS, _TET_EDGES, _CASE_TRIS
-from .evaluator import _block_summary, _group_compact, _GROUP_BLOCKS
+from .evaluator import _block_summary, _group_compact
+
+# Adaptive compaction group: small enough that a lightly-dirty lattice
+# (a human surface marks ~10-60k 4^3 blocks) compacts in 1-4 cheap
+# groups instead of one 4.2M-element monolith.
+_MC_GROUP_BLOCKS = 16384
 
 # ---- static tables ------------------------------------------------------
 
-# The 19 canonical edge slots: (off, delta) with delta in {0,1}^3 \ {0},
-# off in {0,1}^3, off . delta == 0 (off=1 only on axes the edge does not
-# traverse — boundary-clipped owners).
-_SLOTS = []
-for _dx in range(2):
-    for _dy in range(2):
-        for _dz in range(2):
-            d = (_dx, _dy, _dz)
-            if d == (0, 0, 0):
-                continue
-            for _ox in range(2 - _dx):
-                for _oy in range(2 - _dy):
-                    for _oz in range(2 - _dz):
-                        _SLOTS.append(((_ox, _oy, _oz), d))
-assert len(_SLOTS) == 19
-N_SLOTS = 19
-
-_SLOT_OFF = np.array([s[0] for s in _SLOTS], np.int32)     # [19, 3]
-_SLOT_DELTA = np.array([s[1] for s in _SLOTS], np.int32)   # [19, 3]
+# Edge slots are DELTAS only (the canonical edge id is its min corner
+# plus a delta): cubes emit axis edges, tets also the face/body
+# diagonals of the 6-tet decomposition.
+_DELTAS_CUBES = np.array([(1, 0, 0), (0, 1, 0), (0, 0, 1)], np.int32)
+_DELTAS_TETS = np.array([((d & 1), (d >> 1) & 1, (d >> 2) & 1)
+                         for d in range(1, 8)], np.int32)
 
 
-def _make_slot_tables(keep_mask: np.ndarray) -> dict:
-    """Algorithm-local canonical-slot tables.
+def _slot_of_delta(d, deltas) -> int:
+    for i, dd in enumerate(deltas):
+        if tuple(dd) == tuple(d):
+            return i
+    raise ValueError(f"delta {d} not in slot table")
 
-    The finalize/weld pass is linear in max_cells * n_slots, so each
-    tessellation only enumerates the slots it can emit: marching tets
-    all 19 decomposition edges, classic marching cubes only the 12
-    axis-edge slots (a 19/12 cut of the weld domain).
-    """
-    idx = np.where(keep_mask)[0]
-    lut = -np.ones(64, np.int32)
-    for local, g in enumerate(idx):
-        (ox, oy, oz), (dx, dy, dz) = _SLOTS[g]
-        lut[(ox + 2 * oy + 4 * oz) + 8 * (dx + 2 * dy + 4 * dz)] = local
-    return dict(n_slots=len(idx), slot_off=_SLOT_OFF[idx],
-                slot_delta=_SLOT_DELTA[idx], slot_lut=lut)
 
 # Per (tet, slot, vertex): local corner pair (a, b) indexed by case.
 # _VTX_A[t, s, v][case] = local corner id a (0 where the case emits no
@@ -108,8 +106,7 @@ _OFFZ = _CORNER_OFFSETS[:, 2].astype(np.int32)
 
 # ---- unified per-algorithm emission tables ----
 # Each algorithm is a list of corner GROUPS; a group's sign bits form
-# the case index into its (VTX_A, VTX_B, VALID) tables, each holding up
-# to S triangles of local cell-corner pairs.
+# the case index into its packed emission table.
 from .mc_tables import MC_EDGES, MC_CASE_TRIS, MC_MAX_TRIS
 
 _VTX_A_MC = np.zeros((1, MC_MAX_TRIS, 3, 256), np.int32)
@@ -126,16 +123,53 @@ for _case in range(256):
             _VTX_A_MC[0, _s, _v, _case] = _a
             _VTX_B_MC[0, _s, _v, _case] = _b
 
+
+def _pack_emit_tables(va: np.ndarray, vb: np.ndarray, valid: np.ndarray,
+                      deltas: np.ndarray) -> np.ndarray:
+    """ONE int32 word per (group, tri-slot, case) holding everything
+    the emit pass needs — gather rates on this TPU are descriptor
+    -bound, so the emit loop's per-cell cost is set by its LOOKUP
+    COUNT, not its arithmetic. Word layout:
+
+      bits [6v .. 6v+2]   per vertex v: canonical-edge min corner
+                          (emin = min(a, b) componentwise) as 3
+                          axis bits;
+      bits [6v+3 .. 6v+5] per vertex v: edge slot id (the index of
+                          |a-b| in the algorithm's delta table);
+      bit 18              triangle valid for this case.
+    """
+    G, S, _, C = va.shape
+    packed = np.zeros((G, S, C), np.int32)
+    offs = _CORNER_OFFSETS.astype(np.int32)          # [8, 3]
+    for g in range(G):
+        for s in range(S):
+            for c in range(C):
+                if not valid[g, s, c]:
+                    continue
+                w = 1 << 18
+                for v in range(3):
+                    a = offs[va[g, s, v, c]]
+                    b = offs[vb[g, s, v, c]]
+                    em = np.minimum(a, b)
+                    slot = _slot_of_delta(np.abs(a - b), deltas)
+                    bits = (int(em[0]) | int(em[1]) << 1
+                            | int(em[2]) << 2 | slot << 3)
+                    w |= bits << (6 * v)
+                packed[g, s, c] = w
+    return packed
+
+
 _ALGOS = {
     "tets": dict(groups=[tuple(t) for t in _TETS], n_cases=16,
-                 va=_VTX_A, vb=_VTX_B, valid=_TRI_VALID,
+                 ptab=_pack_emit_tables(_VTX_A, _VTX_B, _TRI_VALID,
+                                        _DELTAS_TETS),
                  tris_per_cell=12,
-                 **_make_slot_tables(np.ones(N_SLOTS, bool))),
+                 n_slots=len(_DELTAS_TETS), deltas=_DELTAS_TETS),
     "cubes": dict(groups=[tuple(range(8))], n_cases=256,
-                  va=_VTX_A_MC, vb=_VTX_B_MC, valid=_TRI_VALID_MC,
+                  ptab=_pack_emit_tables(_VTX_A_MC, _VTX_B_MC,
+                                         _TRI_VALID_MC, _DELTAS_CUBES),
                   tris_per_cell=MC_MAX_TRIS,
-                  # only unit-delta (axis edge) slots can be emitted
-                  **_make_slot_tables(_SLOT_DELTA.sum(axis=1) == 1)),
+                  n_slots=len(_DELTAS_CUBES), deltas=_DELTAS_CUBES),
 }
 
 
@@ -154,14 +188,31 @@ def _cells_active(vol: jnp.ndarray, level) -> jnp.ndarray:
     return jnp.pad(act, ((0, 1),) * 3)
 
 
+def _points_active(vol: jnp.ndarray, level,
+                   deltas: np.ndarray) -> jnp.ndarray:
+    """[X,Y,Z] bool lattice: True where the point is the min corner of
+    at least one level-crossing edge of the algorithm's delta set —
+    the canonical-vertex owners the weld enumerates."""
+    X, Y, Z = vol.shape
+    in3 = vol > level
+    out = jnp.zeros_like(in3)
+    for dx, dy, dz in deltas:
+        a = in3[:X - dx, :Y - dy, :Z - dz]
+        b = in3[dx:, dy:, dz:]
+        out = out | jnp.pad(a ^ b, ((0, dx), (0, dy), (0, dz)))
+    return out
+
+
 def _compact_capped(flags_flat: jnp.ndarray, cap: int):
     """Ordered indices of set flags into a [cap+1] buffer (+count).
 
-    TPU element scatters run ~5 ns/update, so the naive full-lattice
-    form (a 134M-update scatter at 512^3: measured 620 ms) is replaced
-    by the evaluator's hierarchical compaction: an `any` block reduce,
-    a block-id scatter over L^3/64 elements, then point scatters only
-    over the points of dirty blocks, group by group.
+    TPU random accesses are descriptor-bound (~9-14 ns each), so the
+    naive full-lattice cumsum+scatter (134M attempts at 512^3:
+    measured 620 ms) is replaced by the evaluator's hierarchical
+    compaction: an `any` block reduce, a block-id scatter over L^3/64
+    elements, then point gathers/scatters only over the points of
+    dirty blocks — in groups of _MC_GROUP_BLOCKS so a lightly-dirty
+    lattice pays for the blocks it has, not a fixed monolith.
     """
     n_flat = flags_flat.shape[0]
     L = round(n_flat ** (1 / 3))
@@ -173,42 +224,44 @@ def _compact_capped(flags_flat: jnp.ndarray, cap: int):
             jnp.arange(n_flat, dtype=jnp.int32), mode="drop")
         return out, n
 
-    blk_compact, nb = _block_summary(flags_flat, L, 4, _GROUP_BLOCKS)
+    blk_compact, nb = _block_summary(flags_flat, L, 4, _MC_GROUP_BLOCKS)
     out0 = jnp.zeros((cap + 1,), jnp.int32)
-    S = _GROUP_BLOCKS * 64
+    S = _MC_GROUP_BLOCKS * 64
 
     def body(carry):
         out, n, g = carry
         comp_g, na_g = _group_compact(flags_flat, blk_compact,
-                                      g * _GROUP_BLOCKS, nb, L, 4,
-                                      _GROUP_BLOCKS, S)
+                                      g * _MC_GROUP_BLOCKS, nb, L, 4,
+                                      _MC_GROUP_BLOCKS, S)
         idx = jnp.arange(S, dtype=jnp.int32)
         tgt = jnp.where((idx < na_g) & (n + idx < cap), n + idx, cap)
         out = out.at[tgt].set(comp_g[:S], mode="drop")
         return out, n + na_g, g + 1
 
     out, n, _ = lax.while_loop(
-        lambda ca: ca[2] * _GROUP_BLOCKS < nb, body,
+        lambda ca: ca[2] * _MC_GROUP_BLOCKS < nb, body,
         (out0, jnp.int32(0), jnp.int32(0)))
     return out, n
 
 
-def _emit_cells(vol_flat, cell_gids, cell_valid, rank_lat, level,
-                dims: Tuple[int, int, int], algo: str = "tets"):
+def _emit_cells(vol_flat, cell_gids, cell_valid, rankp_lat, level,
+                dims: Tuple[int, int, int], max_pts: int,
+                algo: str = "tets"):
     """Per-chunk triangle emission, fully 1-D.
 
     cell_gids [K] flat base-corner ids (garbage where ~cell_valid).
-    Returns (vid0, vid1, vid2, valid — each [tris_per_cell * K]),
-    group-major then cell. Only face VERTEX IDS are emitted: a
-    canonical edge carries a vertex iff its endpoints straddle the
-    level, so presence and the interpolation parameter are recomputed
-    directly from the volume in the finalize pass — no weld scatters.
-    ``algo`` selects the tessellation tables: 'tets' (6-tet marching
-    tetrahedra, exact vs tetra.py) or 'cubes' (classic marching cubes,
-    ~3x fewer triangles, mc_tables.py).
+    Returns (vid0, vid1, vid2, valid — each [tris_per_cell * K],
+    group-major then cell). Only face VERTEX IDS are emitted: the
+    canonical id of an edge is ``slot * max_pts + rank(min corner)``
+    where rank comes from the crossing-point lattice — presence and
+    the interpolation parameter are recomputed in the finalize pass.
+
+    Gather budget (the cost driver): 8 volume gathers + 8 point-rank
+    gathers per cell (corner-major [8, K] rows), then ONE packed-table
+    lookup per (group, tri-slot); min-corner ranks come from the
+    pre-gathered rankp8T rows via 3-bit select chains.
     """
     X, Y, Z = dims
-    K = cell_gids.shape[0]
     bz = cell_gids % Z
     by = (cell_gids // Z) % Y
     bx = cell_gids // (Y * Z)
@@ -216,73 +269,76 @@ def _emit_cells(vol_flat, cell_gids, cell_valid, rank_lat, level,
     offx = jnp.asarray(_OFFX)
     offy = jnp.asarray(_OFFY)
     offz = jnp.asarray(_OFFZ)
-    # corner values [K, 8] (minor dim 8 -> one padded tile; acceptable)
-    cgx = bx[:, None] + offx[None, :]
-    cgy = by[:, None] + offy[None, :]
-    cgz = bz[:, None] + offz[None, :]
+    cgx = bx[None, :] + offx[:, None]
+    cgy = by[None, :] + offy[:, None]
+    cgz = bz[None, :] + offz[:, None]
     gid8 = (cgx * Y + cgy) * Z + cgz
-    val8 = vol_flat[gid8]                                  # [K, 8]
-    in8 = (val8 > level).astype(jnp.int32)
+    val8T = vol_flat[gid8]                                 # [8, K]
+    in8 = (val8T > level).astype(jnp.int32)
+    rankp8T = rankp_lat[gid8]                              # [8, K]
+
+    def sel8(rows, ox, oy, oz):
+        """rows[corner_id(ox, oy, oz)] per element, where corner ids
+        follow _CORNER_OFFSETS' ring order ((0,0,0), (1,0,0), (1,1,0),
+        (0,1,0), then the same ring at z=1), via a select chain."""
+        ring0 = jnp.where(oz == 1, rows[4], rows[0])   # (0, 0)
+        ring1 = jnp.where(oz == 1, rows[5], rows[1])   # (1, 0)
+        ring2 = jnp.where(oz == 1, rows[6], rows[2])   # (1, 1)
+        ring3 = jnp.where(oz == 1, rows[7], rows[3])   # (0, 1)
+        row_y0 = jnp.where(ox == 1, ring1, ring0)
+        row_y1 = jnp.where(ox == 1, ring2, ring3)
+        return jnp.where(oy == 1, row_y1, row_y0)
 
     spec = _ALGOS[algo]
-    lut = jnp.asarray(spec["slot_lut"])
-    n_eslots = spec["n_slots"]          # canonical EDGE slots (19/12);
-    vids, valids = [[], [], []], []     # n_slots below = triangle slots
+    ptab = spec["ptab"]
+    vids, valids = [[], [], []], []
     for g_i, corners in enumerate(spec["groups"]):
-        case = sum(in8[:, c] << j for j, c in enumerate(corners))  # [K]
-        n_slots = spec["va"].shape[1]
-        for s_i in range(n_slots):
-            valids.append(jnp.asarray(spec["valid"][g_i, s_i])[case]
+        case = sum(in8[c] << j for j, c in enumerate(corners))     # [K]
+        for s_i in range(ptab.shape[1]):
+            packed = jnp.asarray(ptab[g_i, s_i])[case]             # [K]
+            valids.append(((packed >> 18) & 1).astype(bool)
                           & cell_valid)
             for v_i in range(3):
-                ca = jnp.asarray(spec["va"][g_i, s_i, v_i])[case]  # [K]
-                cb = jnp.asarray(spec["vb"][g_i, s_i, v_i])[case]
-                cax = bx + offx[ca]
-                cay = by + offy[ca]
-                caz = bz + offz[ca]
-                cbx = bx + offx[cb]
-                cby = by + offy[cb]
-                cbz = bz + offz[cb]
-                emx = jnp.minimum(cax, cbx)
-                emy = jnp.minimum(cay, cby)
-                emz = jnp.minimum(caz, cbz)
-                dx = jnp.maximum(cax, cbx) - emx           # {0, 1}
-                dy = jnp.maximum(cay, cby) - emy
-                dz = jnp.maximum(caz, cbz) - emz
-                owx = jnp.minimum(emx, X - 2)
-                owy = jnp.minimum(emy, Y - 2)
-                owz = jnp.minimum(emz, Z - 2)
-                key = (((emx - owx) + 2 * (emy - owy) + 4 * (emz - owz))
-                       + 8 * (dx + 2 * dy + 4 * dz))
-                slot = lut[key]
-                ogid = (owx * Y + owy) * Z + owz
-                rank = rank_lat[ogid]
-                vids[v_i].append(rank * n_eslots + slot)
+                w = packed >> (6 * v_i)
+                emx = w & 1          # emin corner bits
+                emy = (w >> 1) & 1
+                emz = (w >> 2) & 1
+                slot = (w >> 3) & 7  # delta-table slot id
+                rank = sel8(rankp8T, emx, emy, emz)
+                vids[v_i].append(slot * max_pts + rank)
     valid = jnp.concatenate(valids)               # [tris_per_cell * K]
     out = [jnp.concatenate(vids[v]) for v in range(3)]
     return (*out, valid)
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "dims", "max_cells", "max_tris", "max_verts", "cell_chunk", "algo"))
-def _march_core(vol_flat, level, dims, max_cells: int, max_tris: int,
-                max_verts: int, cell_chunk: int, algo: str = "tets"):
+    "dims", "max_cells", "max_pts", "max_tris", "max_verts",
+    "cell_chunk", "algo"))
+def _march_core(vol_flat, level, dims, max_cells: int, max_pts: int,
+                max_tris: int, max_verts: int, cell_chunk: int,
+                algo: str = "tets"):
     X, Y, Z = dims
     XYZ = X * Y * Z
     level = jnp.float32(level)
     vol3 = vol_flat.reshape(X, Y, Z)
+    spec = _ALGOS[algo]
+    n_slots = spec["n_slots"]
+    deltas = spec["deltas"]
 
     act_lat = _cells_active(vol3, level).reshape(-1)
     compact, n_cells = _compact_capped(act_lat, max_cells)
 
-    # rank lookup lattice: rank_lat[cell gid] = compact rank
-    m = jnp.arange(max_cells, dtype=jnp.int32)
-    tgt = jnp.where(m < jnp.minimum(n_cells, max_cells), compact[:-1], XYZ)
-    rank_lat = jnp.zeros((XYZ,), jnp.int32).at[tgt].set(m, mode="drop")
+    pt_lat = _points_active(vol3, level, deltas).reshape(-1)
+    compact_p, n_pts = _compact_capped(pt_lat, max_pts)
 
-    spec = _ALGOS[algo]
-    n_slots = spec["n_slots"]
-    n_vid = max_cells * n_slots
+    # point-rank lattice: rankp_lat[crossing-point gid] = compact rank
+    mp_ = jnp.arange(max_pts, dtype=jnp.int32)
+    ptgt = jnp.where(mp_ < jnp.minimum(n_pts, max_pts),
+                     compact_p[:-1], XYZ)
+    rankp_lat = jnp.zeros((XYZ,), jnp.int32).at[ptgt].set(
+        mp_, mode="drop")
+
+    n_vid = n_slots * max_pts
     fbuf0 = tuple(jnp.zeros((max_tris + 1,), jnp.int32) for _ in range(3))
 
     na = jnp.minimum(n_cells, max_cells)
@@ -294,7 +350,8 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_tris: int,
         cell_valid = idx < na
         gids = compact[jnp.minimum(idx, max_cells)]
         v0, v1, v2, valid = _emit_cells(
-            vol_flat, gids, cell_valid, rank_lat, level, dims, algo)
+            vol_flat, gids, cell_valid, rankp_lat, level, dims,
+            max_pts, algo)
         # compact this chunk's triangles into the global buffers
         pos = n_tris + jnp.cumsum(valid.astype(jnp.int32)) - 1
         ftgt = jnp.where(valid & (pos < max_tris), pos, max_tris)
@@ -308,39 +365,35 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_tris: int,
         lambda ca: ca[4] < num_chunks, body,
         fbuf0 + (jnp.int32(0), jnp.int32(0)))
 
-    # ---- vertex presence, weld index and position, derived DIRECTLY
-    # from the volume (no weld scatters): the canonical edge of
-    # (rank, slot) carries a vertex iff its endpoints straddle the
-    # level — exactly when some tetrahedron emits it ----
-    rank_all = jnp.arange(n_vid, dtype=jnp.int32) // n_slots
-    slot_all = jnp.arange(n_vid, dtype=jnp.int32) % n_slots
-    gid_all = compact[jnp.minimum(rank_all, max_cells)]
-    bz = gid_all % Z
-    by = (gid_all // Z) % Y
-    bx = gid_all // (Y * Z)
-    offq = [jnp.asarray(spec["slot_off"][:, c])[slot_all]
-            for c in range(3)]
-    dq = [jnp.asarray(spec["slot_delta"][:, c])[slot_all]
-          for c in range(3)]
-    lox = bx + offq[0]
-    loy = by + offq[1]
-    loz = bz + offq[2]
-    gid_lo = (lox * Y + loy) * Z + loz
-    gid_hi = ((lox + dq[0]) * Y + (loy + dq[1])) * Z + (loz + dq[2])
-    v_lo = vol_flat[gid_lo]
-    v_hi = vol_flat[gid_hi]
-    in_lo = v_lo > level
-    in_hi = v_hi > level
-    # a slot with off=1 on some axis is canonical ONLY for cells on the
-    # far boundary of that axis (owner = clip(emin, dims-2)); interior
-    # cells would duplicate the neighbor's off=0 slot otherwise
-    own_ok = (((offq[0] == 0) | (bx == X - 2))
-              & ((offq[1] == 0) | (by == Y - 2))
-              & ((offq[2] == 0) | (bz == Z - 2)))
-    present = (in_lo != in_hi) & own_ok & (rank_all < na)
-    denom = v_hi - v_lo
-    denom = jnp.where(jnp.abs(denom) < 1e-12, jnp.float32(1e-12), denom)
-    tq = jnp.clip((level - v_lo) / denom, 0.0, 1.0)
+    # ---- vertex presence, weld index and position — SLOT-MAJOR and
+    # dense over the compacted crossing points: per slot, one gather of
+    # the far-end value; the canonical edge (p, delta_s) carries a
+    # vertex iff its endpoints straddle the level ----
+    gidp = compact_p[:max_pts]
+    pz = gidp % Z
+    py = (gidp // Z) % Y
+    px = gidp // (Y * Z)
+    v0p = vol_flat[gidp]
+    in0p = v0p > level
+    pok = mp_ < jnp.minimum(n_pts, max_pts)
+    pres_parts, tq_parts = [], []
+    for dx, dy, dz in deltas:
+        step = (dx * Y + dy) * Z + dz
+        inb = pok
+        if dx:
+            inb = inb & (px < X - 1)
+        if dy:
+            inb = inb & (py < Y - 1)
+        if dz:
+            inb = inb & (pz < Z - 1)
+        vhi = vol_flat[jnp.where(inb, gidp + step, 0)]
+        pres_parts.append(((vhi > level) != in0p) & inb)
+        denom = vhi - v0p
+        denom = jnp.where(jnp.abs(denom) < 1e-12, jnp.float32(1e-12),
+                          denom)
+        tq_parts.append(jnp.clip((level - v0p) / denom, 0.0, 1.0))
+    present = jnp.concatenate(pres_parts)          # [n_slots * max_pts]
+    tq = jnp.concatenate(tq_parts)
 
     n_verts = jnp.sum(present.astype(jnp.int32))
     vpos = jnp.cumsum(present.astype(jnp.int32)) - 1
@@ -370,25 +423,31 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_tris: int,
                  for w in (w0, w1)]
     n_faces = jnp.sum(tri_ok.astype(jnp.int32))
 
-    return (vid_of, t_of, faces_out[0], faces_out[1], compact,
-            n_verts, n_faces, n_cells, n_tris)
+    return (vid_of, t_of, faces_out[0], faces_out[1], compact_p,
+            n_verts, n_faces, n_cells, n_tris, n_pts)
 
 
 def _bucket(n: int, quantum: int = 1 << 16) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
-# last cell bucket that fit a given volume shape: lets repeat
-# extractions skip the count program + its host sync and go straight to
-# the core (speculative; a miss falls back to recount + rerun)
+# last (cell, point, tris) buckets that fit a given volume shape: lets
+# repeat extractions skip the count program + its host sync and go
+# straight to the core (speculative; a miss falls back to recount +
+# rerun). The tris bucket carries 25% headroom so nearby surfaces of
+# the same subject family reuse the compiled core.
 _LAST_CELL_BUCKET: Dict = {}
 
 
-@functools.partial(jax.jit, static_argnames=("dims",))
-def _count_cells(vol_flat, level, dims):
+@functools.partial(jax.jit, static_argnames=("dims", "algo"))
+def _count_cells(vol_flat, level, dims, algo: str = "tets"):
     X, Y, Z = dims
-    act = _cells_active(vol_flat.reshape(X, Y, Z), jnp.float32(level))
-    return jnp.sum(act.astype(jnp.int32))
+    vol3 = vol_flat.reshape(X, Y, Z)
+    act = _cells_active(vol3, jnp.float32(level))
+    pts = _points_active(vol3, jnp.float32(level),
+                         _ALGOS[algo]["deltas"])
+    return (jnp.sum(act.astype(jnp.int32)),
+            jnp.sum(pts.astype(jnp.int32)))
 
 
 def marching_tetrahedra_device_begin(volume, level: float = 0.5,
@@ -396,7 +455,8 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
                                      max_tris: int = 6 << 20,
                                      max_verts: int = 2 << 20,
                                      cell_chunk: int = 1 << 16,
-                                     algorithm: str = "tets"):
+                                     algorithm: str = "tets",
+                                     max_pts: int = None):
     """Start a device extraction; returns ``finish() -> (verts, faces)``.
 
     The device->host copies are started asynchronously, so the caller
@@ -411,59 +471,77 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
     if max_verts > (1 << 21):
         raise ValueError("packed faces hold 21-bit vertex indices: "
                          "max_verts must be <= 2^21")
+    if max_pts is None:
+        max_pts = max_cells
     vol = jnp.asarray(volume, jnp.float32)
     X, Y, Z = vol.shape
-    tpc = _ALGOS[algorithm]["tris_per_cell"]
-    ns = _ALGOS[algorithm]["n_slots"]
-    slot_off = _ALGOS[algorithm]["slot_off"]
-    slot_delta = _ALGOS[algorithm]["slot_delta"]
+    spec = _ALGOS[algorithm]
+    tpc = spec["tris_per_cell"]
+    ns = spec["n_slots"]
+    deltas = spec["deltas"]
     bkey = (X, Y, Z, max_cells, algorithm)
-    bucket = _LAST_CELL_BUCKET.get(bkey)
-    if bucket is None:
-        nc0 = int(jax.device_get(_count_cells(vol.reshape(-1),
-                                              float(level), (X, Y, Z))))
+    buckets = _LAST_CELL_BUCKET.get(bkey)
+    if buckets is None:
+        nc0, np0 = map(int, jax.device_get(_count_cells(
+            vol.reshape(-1), float(level), (X, Y, Z), algorithm)))
         if nc0 > max_cells:
             raise ValueError(
                 f"marching_tetrahedra_device capacity exceeded: cells "
                 f"{nc0}/{max_cells}")
-        bucket = min(max_cells, _bucket(max(nc0, 1), 1 << 15))
+        if np0 > max_pts:
+            raise ValueError(
+                f"marching_tetrahedra_device capacity exceeded: "
+                f"crossing points {np0}/{max_pts}")
+        buckets = (min(max_cells, _bucket(max(nc0, 1), 1 << 15)),
+                   min(max_pts, _bucket(max(np0, 1), 1 << 15)),
+                   None)
 
-    def run(bucket):
-        mc = min(max_cells, bucket)
-        # a cell emits <= tris_per_cell triangles, so face/vertex
-        # buffers shrink to the cell bucket too (finalize is linear in
-        # these caps)
-        mt = min(max_tris, tpc * mc)
-        mv = min(max_verts, ns * mc)
+    def run(buckets):
+        bc, bp, bt = buckets
+        mc = min(max_cells, bc)
+        mp = min(max_pts, bp)
+        # a cell emits <= tris_per_cell triangles; the tris bucket from
+        # the previous run (25% headroom) usually beats that bound 3x
+        mt = min(max_tris, tpc * mc if bt is None else bt)
+        mv = min(max_verts, ns * mp)
         out = _march_core(vol.reshape(-1), float(level), (X, Y, Z),
-                          mc, mt, mv, cell_chunk, algorithm)
-        counts = tuple(map(int, jax.device_get(out[5:9])))
-        return out, mc, mt, mv, counts
+                          mc, mp, mt, mv, cell_chunk, algorithm)
+        counts = tuple(map(int, jax.device_get(out[5:10])))
+        return out, mc, mp, mt, mv, counts
 
-    out, mc, mt, mv, (nv, nf, nc, nt) = run(bucket)
-    if nc > mc or nt > mt or nv > mv:
+    out, mc, mp, mt, mv, (nv, nf, ncl, nt, npt) = run(buckets)
+    if ncl > mc or npt > mp or nt > mt or nv > mv:
         # speculative bucket miss (or true overflow): size to the real
         # counts and rerun once
-        if nc > max_cells or nt > max_tris or nv > max_verts:
+        if ncl > max_cells or npt > max_pts or nt > max_tris \
+                or nv > max_verts:
             raise ValueError(
                 f"marching_tetrahedra_device capacity exceeded: cells "
-                f"{nc}/{max_cells}, tris {nt}/{max_tris}, verts "
-                f"{nv}/{max_verts}")
-        need = max(nc, -(-nt // tpc), -(-nv // ns))
-        bucket = min(max_cells, _bucket(need, 1 << 15))
-        out, mc, mt, mv, (nv, nf, nc, nt) = run(bucket)
-        if nc > mc or nt > mt or nv > mv:
+                f"{ncl}/{max_cells}, pts {npt}/{max_pts}, tris "
+                f"{nt}/{max_tris}, verts {nv}/{max_verts}")
+        # nt is only trustworthy if every active cell was processed:
+        # a clipped cell bucket undercounts triangles, so fall back to
+        # the worst-case tris_per_cell bound (bt=None) in that case.
+        bt = (None if ncl > mc
+              else min(max_tris, _bucket(nt + (nt >> 2), 1 << 16)))
+        buckets = (min(max_cells, _bucket(ncl, 1 << 15)),
+                   min(max_pts, _bucket(npt, 1 << 15)), bt)
+        out, mc, mp, mt, mv, (nv, nf, ncl, nt, npt) = run(buckets)
+        if ncl > mc or npt > mp or nt > mt or nv > mv:
             raise ValueError(
                 f"marching_tetrahedra_device capacity exceeded: cells "
-                f"{nc}/{mc}, tris {nt}/{mt}, verts {nv}/{mv}")
-    _LAST_CELL_BUCKET[bkey] = bucket
-    vid_of, t_of, w0, w1, compact = out[:5]
-    max_verts, max_tris, max_cells = mv, mt, mc
+                f"{ncl}/{mc}, pts {npt}/{mp}, tris {nt}/{mt}, verts "
+                f"{nv}/{mv}")
+    _LAST_CELL_BUCKET[bkey] = (mc, mp,
+                               min(max_tris,
+                                   _bucket(nt + (nt >> 2), 1 << 16)))
+    vid_of, t_of, w0, w1, compact_p = out[:5]
+    max_pts = mp
     # fetch in coarse buckets so the slice programs are reused
-    bv = min(_bucket(nv), max_verts)
-    bf = min(_bucket(nf), max_tris)
-    bc = min(_bucket(nc), max_cells + 1)
-    slices = [vid_of[:bv], t_of[:bv], w0[:bf], w1[:bf], compact[:bc]]
+    bv = min(_bucket(nv), mv)
+    bf = min(_bucket(nf), mt)
+    bc = min(_bucket(npt), mp + 1)
+    slices = [vid_of[:bv], t_of[:bv], w0[:bf], w1[:bf], compact_p[:bc]]
     for s in slices:
         try:
             s.copy_to_host_async()
@@ -478,13 +556,13 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
         comp = np.asarray(jax.device_get(slices[4]))
         # decode vertices: replay lo + t * delta in f32 (bit-identical
         # to the device formula)
-        rank = vid // ns
-        slot = vid % ns
+        slot = vid // max_pts
+        rank = vid % max_pts
         gid = comp[rank]
-        base = np.stack([gid // (Y * Z), (gid // Z) % Y, gid % Z], 1)
-        lo = (base + slot_off[slot]).astype(np.float32)
+        lo = np.stack([gid // (Y * Z), (gid // Z) % Y, gid % Z],
+                      1).astype(np.float32)
         verts = lo + t[:, None].astype(np.float32) \
-            * slot_delta[slot].astype(np.float32)
+            * deltas[slot].astype(np.float32)
         f0 = (w0h & 0x1FFFFF).astype(np.int64)
         f1 = ((w0h >> 21) | ((w1h & 0x3FF) << 11)).astype(np.int64)
         f2 = ((w1h >> 10) & 0x1FFFFF).astype(np.int64)
@@ -499,7 +577,8 @@ def marching_tetrahedra_device(volume, level: float = 0.5,
                                max_tris: int = 6 << 20,
                                max_verts: int = 2 << 20,
                                cell_chunk: int = 1 << 16,
-                               algorithm: str = "tets"
+                               algorithm: str = "tets",
+                               max_pts: int = None
                                ) -> Tuple[np.ndarray, np.ndarray]:
     """Device marching tetrahedra; same mesh as tetra.marching_tetrahedra.
 
@@ -508,14 +587,14 @@ def marching_tetrahedra_device(volume, level: float = 0.5,
     static capacity overflows (increase the caps or use the host
     backend — random/noise fields activate nearly every cell).
 
-    The vertex-weld domain scales with max_cells * n_slots (19 for
-    tets, 12 for cubes), so the actual cell count is measured first
-    (one tiny program + scalar fetch) and the core runs at the
-    smallest power-of-two bucket that fits.
+    The weld domain scales with max_pts * n_slots (7 for tets, 3 for
+    cubes), so the actual cell/point counts are measured first (one
+    tiny program + scalar fetch) and the core runs at the smallest
+    buckets that fit.
     """
     return marching_tetrahedra_device_begin(
         volume, level, max_cells, max_tris, max_verts, cell_chunk,
-        algorithm)()
+        algorithm, max_pts)()
 
 
 def marching_cubes_device(volume, level: float = 0.5, **kw

@@ -214,3 +214,25 @@ def test_marching_cubes_density_and_watertightness():
     assert sv_t * sv_c > 0                       # same winding
     true_v = 4 / 3 * np.pi * 7.3 ** 3
     assert abs(sv_c - true_v) / true_v < 0.05
+
+
+def test_speculative_bucket_miss_rerun():
+    """A small mesh caches small speculative buckets; a much larger
+    volume at the same (shape, caps, algorithm) key must survive the
+    bucket miss. Regression: the rerun sized its triangle bucket from
+    the clipped first run's UNDERCOUNTED triangle total (only cells
+    that fit the stale bucket are processed) and overflowed again —
+    hit in production by extract_pair (small LR mesh, then HR mesh)."""
+    from surs_tpu.recon import tetra_device as td
+    td._LAST_CELL_BUCKET.clear()
+    try:
+        n = 160
+        small = sphere_vol(n, (79.5, 79.5, 79.5), 9.0)
+        big = sphere_vol(n, (79.5, 79.5, 79.5), 74.0)
+        marching_tetrahedra_device(small, 0.5, algorithm="cubes")
+        vd, fd = marching_tetrahedra_device(big, 0.5, algorithm="cubes")
+        td._LAST_CELL_BUCKET.clear()
+        vf, ff = marching_tetrahedra_device(big, 0.5, algorithm="cubes")
+        assert_same_mesh(vf, ff, vd, fd)
+    finally:
+        td._LAST_CELL_BUCKET.clear()
