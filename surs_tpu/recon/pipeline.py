@@ -251,10 +251,14 @@ class Reconstructor:
         if mc_backend in ("device", "auto"):
             from .tetra_device import marching_tetrahedra_device_begin
             try:
+                # distinct bucket tags: the HR/LR surfaces differ in
+                # size systematically, so sharing one speculative
+                # bucket entry would recount+rerun the larger mesh on
+                # every call (tetra_device.marching_tetrahedra_device_begin)
                 fin_hr = marching_tetrahedra_device_begin(
-                    sdf_hr, level, **(mc_caps or {}))
+                    sdf_hr, level, bucket_tag="hr", **(mc_caps or {}))
                 fin_lr = marching_tetrahedra_device_begin(
-                    sdf_lr, level, **(mc_caps or {}))
+                    sdf_lr, level, bucket_tag="lr", **(mc_caps or {}))
                 yield to_world(*fin_hr())
                 yield to_world(*fin_lr())
                 return

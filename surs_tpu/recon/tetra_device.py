@@ -456,7 +456,8 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
                                      max_verts: int = 2 << 20,
                                      cell_chunk: int = 1 << 16,
                                      algorithm: str = "tets",
-                                     max_pts: int = None):
+                                     max_pts: int = None,
+                                     bucket_tag: str = ""):
     """Start a device extraction; returns ``finish() -> (verts, faces)``.
 
     The device->host copies are started asynchronously, so the caller
@@ -467,6 +468,12 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
     (canonical edge id + t, position replayed bit-exactly on the host)
     and 8 B/face (3 x 21-bit indices in two words) — a third less
     traffic than raw f32/i32 triples.
+
+    ``bucket_tag`` keys the speculative-bucket cache: callers that
+    alternate between systematically different surfaces at the same
+    shape (the HR/LR pair of extract_pair) pass distinct tags so the
+    smaller mesh's cached buckets don't force a recount-and-rerun of
+    the larger one on every call.
     """
     if max_verts > (1 << 21):
         raise ValueError("packed faces hold 21-bit vertex indices: "
@@ -479,7 +486,7 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
     tpc = spec["tris_per_cell"]
     ns = spec["n_slots"]
     deltas = spec["deltas"]
-    bkey = (X, Y, Z, max_cells, algorithm)
+    bkey = (X, Y, Z, max_cells, algorithm, bucket_tag)
     buckets = _LAST_CELL_BUCKET.get(bkey)
     if buckets is None:
         nc0, np0 = map(int, jax.device_get(_count_cells(
@@ -510,28 +517,33 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
         return out, mc, mp, mt, mv, counts
 
     out, mc, mp, mt, mv, (nv, nf, ncl, nt, npt) = run(buckets)
-    if ncl > mc or npt > mp or nt > mt or nv > mv:
+    for attempt in range(2):
+        if ncl <= mc and npt <= mp and nt <= mt and nv <= mv:
+            break
         # speculative bucket miss (or true overflow): size to the real
-        # counts and rerun once
+        # counts and rerun
         if ncl > max_cells or npt > max_pts or nt > max_tris \
                 or nv > max_verts:
             raise ValueError(
                 f"marching_tetrahedra_device capacity exceeded: cells "
                 f"{ncl}/{max_cells}, pts {npt}/{max_pts}, tris "
                 f"{nt}/{max_tris}, verts {nv}/{max_verts}")
-        # nt is only trustworthy if every active cell was processed:
-        # a clipped cell bucket undercounts triangles, so fall back to
-        # the worst-case tris_per_cell bound (bt=None) in that case.
-        bt = (None if ncl > mc
-              else min(max_tris, _bucket(nt + (nt >> 2), 1 << 16)))
+        # a clipped cell bucket undercounts triangles, so the observed
+        # nt is scaled by the unprocessed-cell ratio before the 25%
+        # headroom; a second miss falls back to the worst-case
+        # tris_per_cell bound (bt=None)
+        nt_est = nt if ncl <= mc else -(-nt * ncl // max(mc, 1))
+        bt = (None if attempt == 1
+              else min(max_tris, _bucket(nt_est + (nt_est >> 2),
+                                         1 << 16)))
         buckets = (min(max_cells, _bucket(ncl, 1 << 15)),
                    min(max_pts, _bucket(npt, 1 << 15)), bt)
         out, mc, mp, mt, mv, (nv, nf, ncl, nt, npt) = run(buckets)
-        if ncl > mc or npt > mp or nt > mt or nv > mv:
-            raise ValueError(
-                f"marching_tetrahedra_device capacity exceeded: cells "
-                f"{ncl}/{mc}, pts {npt}/{mp}, tris {nt}/{mt}, verts "
-                f"{nv}/{mv}")
+    if ncl > mc or npt > mp or nt > mt or nv > mv:
+        raise ValueError(
+            f"marching_tetrahedra_device capacity exceeded: cells "
+            f"{ncl}/{mc}, pts {npt}/{mp}, tris {nt}/{mt}, verts "
+            f"{nv}/{mv}")
     _LAST_CELL_BUCKET[bkey] = (mc, mp,
                                min(max_tris,
                                    _bucket(nt + (nt >> 2), 1 << 16)))
