@@ -63,8 +63,17 @@ from .grid import flat_index_to_world
 EvalFn = Callable[[jnp.ndarray, Any], Tuple[jnp.ndarray, jnp.ndarray]]
 
 # Hierarchical dirty-compaction parameters (see module docstring).
+# Group size is a latency/occupancy tradeoff: each group gathers and
+# scatters group_blocks * 64 candidate points whether or not the tail
+# blocks are dirty, so the processed-candidate total is
+# ceil(nb / Mg) * Mg * 64. A human surface at 512^3 marks ~15-60k
+# dirty 4^3 blocks; Mg=8192 wastes at most one part-empty group
+# (~0.5M candidates) where the round-2 Mg=65536 monolith always paid
+# 4.2M (measured: 104 -> 54 ms for the final-level group compaction,
+# benchmarks/compact_bench2.py). The groups loop inside one program,
+# so extra iterations cost no dispatch round trips.
 _BLOCK = 4             # lattice points per block edge (B)
-_GROUP_BLOCKS = 65536  # dirty blocks point-compacted per group (Mg)
+_GROUP_BLOCKS = 8192   # dirty blocks point-compacted per group (Mg)
 
 
 def _two_level(L: int) -> bool:

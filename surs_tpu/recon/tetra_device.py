@@ -61,9 +61,11 @@ from .tetra import _CORNER_OFFSETS, _TETS, _TET_EDGES, _CASE_TRIS
 from .evaluator import _block_summary, _group_compact
 
 # Adaptive compaction group: small enough that a lightly-dirty lattice
-# (a human surface marks ~10-60k 4^3 blocks) compacts in 1-4 cheap
-# groups instead of one 4.2M-element monolith.
-_MC_GROUP_BLOCKS = 16384
+# (a human surface marks ~10-60k 4^3 blocks) compacts in a few cheap
+# groups instead of one 4.2M-element monolith (each group gathers and
+# scatters group * 64 candidates regardless of tail occupancy;
+# benchmarks/compact_bench2.py).
+_MC_GROUP_BLOCKS = 8192
 
 # ---- static tables ------------------------------------------------------
 
