@@ -74,6 +74,11 @@ EvalFn = Callable[[jnp.ndarray, Any], Tuple[jnp.ndarray, jnp.ndarray]]
 # so extra iterations cost no dispatch round trips.
 _BLOCK = 4             # lattice points per block edge (B)
 _GROUP_BLOCKS = 8192   # dirty blocks point-compacted per group (Mg)
+# The HOSTLOOP evaluator pays a device->host sync and ~1-2 chunk
+# dispatches (~30-45 ms RPC each on the remote backend) PER GROUP, so
+# its group granularity must stay coarse — fine groups are only cheap
+# inside a fused program (the buffered append in _level_step).
+_HL_GROUP_BLOCKS = 65536
 
 
 def _two_level(L: int) -> bool:
@@ -374,21 +379,47 @@ def _level_step(eval_fn: EvalFn, R: int, reso: int, chunk: int,
         compact, na = _full_compact(lat_flat, L3, L3 + chunk)
         return eval_chunks(compact, na, (val_hr_f, val_lr_f))
 
-    out_len = _GROUP_BLOCKS * _BLOCK ** 3 + chunk
+    S = _GROUP_BLOCKS * _BLOCK ** 3
     blk_compact, nb = _block_summary(lat_flat, L, _BLOCK, _GROUP_BLOCKS)
 
+    # Buffered evaluation: group compactions are APPENDED (one
+    # contiguous dynamic_update_slice each — garbage past a group's
+    # count is overwritten by the next append or masked by the fill
+    # count) into a multi-chunk buffer that is flushed through the
+    # chunked eval loop only when the next group might not fit. This
+    # decouples the compaction group size (small: candidate waste is
+    # at most one part-empty group) from the query batching (large:
+    # the eval chunks stay fully packed) — evaluating per group would
+    # pay up to chunk/2 padded queries per group, which at 8k-point
+    # groups on a multi-million-point dirty set costs hundreds of ms.
+    cap = max(4 * 1024 * 1024 // chunk, 1) * chunk   # flush threshold
+    # tail room for one group append at fill == cap AND the chunk
+    # loop's fixed-size over-read of the last partial chunk
+    buf0 = jnp.zeros((cap + max(S, chunk),), jnp.int32)
+
     def group_body(carry):
-        val_hr_f, val_lr_f, g = carry
+        val_hr_f, val_lr_f, buf, fill, g = carry
         compact, na_g = _group_compact(
             lat_flat, blk_compact, g * _GROUP_BLOCKS, nb, L, _BLOCK,
-            _GROUP_BLOCKS, out_len)
-        val_hr_f, val_lr_f = eval_chunks(compact, na_g,
-                                         (val_hr_f, val_lr_f))
-        return val_hr_f, val_lr_f, g + 1
+            _GROUP_BLOCKS, S)
+        buf = lax.dynamic_update_slice(buf, compact[:S], (fill,))
+        fill = fill + na_g
+        last = (g + 1) * _GROUP_BLOCKS >= nb
 
-    val_hr_f, val_lr_f, _ = lax.while_loop(
-        lambda c2: c2[2] * _GROUP_BLOCKS < nb, group_body,
-        (val_hr_f, val_lr_f, jnp.int32(0)))
+        def flush(args):
+            val_hr_f, val_lr_f, fill = args
+            val_hr_f, val_lr_f = eval_chunks(buf, fill,
+                                             (val_hr_f, val_lr_f))
+            return val_hr_f, val_lr_f, jnp.int32(0)
+
+        val_hr_f, val_lr_f, fill = lax.cond(
+            last | (fill + S > cap), flush, lambda a: a,
+            (val_hr_f, val_lr_f, fill))
+        return val_hr_f, val_lr_f, buf, fill, g + 1
+
+    val_hr_f, val_lr_f, _, _, _ = lax.while_loop(
+        lambda c2: c2[4] * _GROUP_BLOCKS < nb, group_body,
+        (val_hr_f, val_lr_f, buf0, jnp.int32(0), jnp.int32(0)))
     return val_hr_f, val_lr_f
 
 
@@ -673,8 +704,12 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
 
     # Compact-buffer capacity shared by every level: one group of dirty
     # blocks (hierarchical path) or a whole small lattice (coarse levels).
-    cap = _GROUP_BLOCKS * _BLOCK ** 3
+    G = _HL_GROUP_BLOCKS
+    cap = G * _BLOCK ** 3
     S = cap + C
+
+    def hl_two_level(L):
+        return L % _BLOCK == 0 and L ** 3 > G * _BLOCK ** 3
 
     # Single chunk program shared by ALL levels AND all bounding boxes:
     # lattice size L and the index->world affine enter as traced
@@ -726,7 +761,7 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
         _nb_dbg = 0
         init_lat = init_lats[reso] if has_init else None
 
-        if _two_level(L):
+        if hl_two_level(L):
             # Hierarchical: block summary + first point-group in ONE
             # program (a single host sync covers the common case where
             # every dirty block fits one group).
@@ -735,10 +770,10 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
                     lat = _dirty_lat(evald_f, rfh_f, rfl_f, L,
                                      init_lat if has_init else None)
                     blk_compact, nb = _block_summary(
-                        lat, L, _BLOCK, _GROUP_BLOCKS)
+                        lat, L, _BLOCK, G)
                     compact, na0 = _group_compact(
                         lat, blk_compact, jnp.int32(0), nb, L, _BLOCK,
-                        _GROUP_BLOCKS, S)
+                        G, S)
                     return blk_compact, nb, compact, na0
                 return f
 
@@ -749,7 +784,7 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
                                      init_lat if has_init else None)
                     return _group_compact(
                         lat, blk_compact, g0, nb, L, _BLOCK,
-                        _GROUP_BLOCKS, S)
+                        G, S)
                 return f
 
             chunk_fn = get(("hl-chunk", R, C, S), chunk_builder(S))
@@ -759,10 +794,9 @@ def eval_grid_octree_hostloop(eval_fn: EvalFn, resolution: int,
             nb_host, na_host = jax.device_get((nb, na0))
             _nb_dbg = int(nb_host)
             dispatch_chunks(chunk_fn, compact, na0, int(na_host), L, reso)
-            if nb_host > _GROUP_BLOCKS:
+            if nb_host > G:
                 group_fn = get(base + ("group", reso), group_builder)
-                for g0 in range(_GROUP_BLOCKS, int(nb_host),
-                                _GROUP_BLOCKS):
+                for g0 in range(G, int(nb_host), G):
                     compact, na_g = group_fn(evald_f, rfh_f, rfl_f,
                                              init_lat, blk_compact,
                                              jnp.int32(g0), nb)

@@ -278,6 +278,7 @@ def test_octree_hierarchical_compaction_matches_oracle(monkeypatch):
     from surs_tpu.recon import evaluator as ev
     monkeypatch.setattr(ev, "_BLOCK", 2)
     monkeypatch.setattr(ev, "_GROUP_BLOCKS", 8)
+    monkeypatch.setattr(ev, "_HL_GROUP_BLOCKS", 8)
     R, init_res, thr = 32, 8, 0.05
     assert ev._two_level(R)  # reso=1 level takes the hierarchical path
     mat = grid_matrix((R, R, R), np.array([-0.5] * 3), np.array([0.5] * 3))
