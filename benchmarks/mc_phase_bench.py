@@ -66,12 +66,13 @@ for detail, tag in ((0.012, "benchmark humanoid"),
     def phase1(vol_flat):
         vol3 = vol_flat.reshape(X, Y, Z)
         act = td._cells_active(vol3, jnp.float32(0.5)).reshape(-1)
-        compact, n_cells = td._compact_capped(act, mc)
         pt = td._points_active(vol3, jnp.float32(0.5),
                                deltas).reshape(-1)
-        compact_p, n_pts = td._compact_capped(pt, mp)
+        (compact, n_cells), (compact_p, n_pts) = \
+            td._compact_capped_pair(act, pt, mc, mp)
         m = jnp.arange(mp, dtype=jnp.int32)
-        ptgt = jnp.where(m < jnp.minimum(n_pts, mp), compact_p[:-1], XYZ)
+        ptgt = jnp.where(m < jnp.minimum(n_pts, mp), compact_p[:mp],
+                         XYZ)
         rankp_lat = jnp.zeros((XYZ,), jnp.int32).at[ptgt].set(
             m, mode="drop")
         return compact, compact_p, rankp_lat, n_cells, n_pts

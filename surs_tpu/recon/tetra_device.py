@@ -246,6 +246,77 @@ def _compact_capped(flags_flat: jnp.ndarray, cap: int):
     return out, n
 
 
+def _group_compact2(a_flat, p_flat, blk_compact, g0, nb, L: int,
+                    block: int, group_blocks: int, out_len: int):
+    """_group_compact for TWO flag lattices sharing one dirty-block
+    list: the candidate index math and block gather run once, each
+    lattice keeps its own rank/scatter. Returns (ca, na, cp, np)."""
+    Lb = L // block
+    B3 = block ** 3
+    m = g0 + jnp.arange(group_blocks, dtype=jnp.int32)
+    valid_m = m < nb
+    b = blk_compact[m]
+    bk = b % Lb
+    bj = (b // Lb) % Lb
+    bi = b // (Lb * Lb)
+    t = jnp.arange(B3, dtype=jnp.int32)
+    tk = t % block
+    tj = (t // block) % block
+    ti = t // (block * block)
+    li = bi[:, None] * block + ti[None, :]
+    lj = bj[:, None] * block + tj[None, :]
+    lk = bk[:, None] * block + tk[None, :]
+    gidx = ((li * L + lj) * L + lk).reshape(-1)
+    vm = jnp.repeat(valid_m, B3)
+    out = []
+    for flat in (a_flat, p_flat):
+        flags = flat[gidx] & vm
+        n = jnp.sum(flags.astype(jnp.int32))
+        pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        target = jnp.where(flags, pos, out_len)
+        out.append(jnp.zeros((out_len,), jnp.int32).at[target].set(
+            gidx, mode="drop"))
+        out.append(n)
+    return tuple(out)
+
+
+def _compact_capped_pair(act_flat, pt_flat, cap_a: int, cap_p: int):
+    """Compact the active-cell AND crossing-point lattices over ONE
+    shared dirty-block structure (their dirty blocks nearly coincide:
+    every crossing edge's min corner is a corner of an active cell).
+    One block summary instead of two, one set of candidate index math
+    per group, and the per-group copy-out is a contiguous
+    dynamic_update_slice instead of a second full element scatter.
+    Returns ((compact_a, n_a), (compact_p, n_p)); the output buffers
+    are [cap + group] long with garbage past the count (consumers mask
+    by count; overflow triggers the caller's recount-and-rerun)."""
+    n_flat = act_flat.shape[0]
+    L = round(n_flat ** (1 / 3))
+    if L ** 3 != n_flat or L % 4 != 0:
+        return (_compact_capped(act_flat, cap_a),
+                _compact_capped(pt_flat, cap_p))
+    G = _MC_GROUP_BLOCKS
+    S = G * 64
+    blk_compact, nb = _block_summary(act_flat | pt_flat, L, 4, G)
+    outa0 = jnp.zeros((cap_a + S,), jnp.int32)
+    outp0 = jnp.zeros((cap_p + S,), jnp.int32)
+
+    def body(carry):
+        outa, na, outp, npt, g = carry
+        ca, na_g, cp, np_g = _group_compact2(
+            act_flat, pt_flat, blk_compact, g * G, nb, L, 4, G, S)
+        outa = lax.dynamic_update_slice(outa, ca[:S],
+                                        (jnp.minimum(na, cap_a),))
+        outp = lax.dynamic_update_slice(outp, cp[:S],
+                                        (jnp.minimum(npt, cap_p),))
+        return outa, na + na_g, outp, npt + np_g, g + 1
+
+    outa, na, outp, npt, _ = lax.while_loop(
+        lambda ca: ca[4] * G < nb, body,
+        (outa0, jnp.int32(0), outp0, jnp.int32(0), jnp.int32(0)))
+    return (outa, na), (outp, npt)
+
+
 def _emit_cells(vol_flat, cell_gids, cell_valid, rankp_lat, level,
                 dims: Tuple[int, int, int], max_pts: int,
                 algo: str = "tets"):
@@ -328,15 +399,14 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_pts: int,
     deltas = spec["deltas"]
 
     act_lat = _cells_active(vol3, level).reshape(-1)
-    compact, n_cells = _compact_capped(act_lat, max_cells)
-
     pt_lat = _points_active(vol3, level, deltas).reshape(-1)
-    compact_p, n_pts = _compact_capped(pt_lat, max_pts)
+    (compact, n_cells), (compact_p, n_pts) = _compact_capped_pair(
+        act_lat, pt_lat, max_cells, max_pts)
 
     # point-rank lattice: rankp_lat[crossing-point gid] = compact rank
     mp_ = jnp.arange(max_pts, dtype=jnp.int32)
     ptgt = jnp.where(mp_ < jnp.minimum(n_pts, max_pts),
-                     compact_p[:-1], XYZ)
+                     compact_p[:max_pts], XYZ)
     rankp_lat = jnp.zeros((XYZ,), jnp.int32).at[ptgt].set(
         mp_, mode="drop")
 
