@@ -255,10 +255,20 @@ class Reconstructor:
                 # size systematically, so sharing one speculative
                 # bucket entry would recount+rerun the larger mesh on
                 # every call (tetra_device.marching_tetrahedra_device_begin)
-                fin_hr = marching_tetrahedra_device_begin(
-                    sdf_hr, level, bucket_tag="hr", **(mc_caps or {}))
-                fin_lr = marching_tetrahedra_device_begin(
-                    sdf_lr, level, bucket_tag="lr", **(mc_caps or {}))
+                #
+                # defer_sync: both extraction cores are ENQUEUED before
+                # either counts-sync, so the device pipelines them;
+                # resolving LR before fetching HR starts the LR
+                # device->host copies streaming while the HR mesh is
+                # decoded/written on the host
+                res_hr = marching_tetrahedra_device_begin(
+                    sdf_hr, level, bucket_tag="hr", defer_sync=True,
+                    **(mc_caps or {}))
+                res_lr = marching_tetrahedra_device_begin(
+                    sdf_lr, level, bucket_tag="lr", defer_sync=True,
+                    **(mc_caps or {}))
+                fin_hr = res_hr()
+                fin_lr = res_lr()
                 yield to_world(*fin_hr())
                 yield to_world(*fin_lr())
                 return

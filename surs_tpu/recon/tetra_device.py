@@ -529,7 +529,8 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
                                      cell_chunk: int = 1 << 16,
                                      algorithm: str = "tets",
                                      max_pts: int = None,
-                                     bucket_tag: str = ""):
+                                     bucket_tag: str = "",
+                                     defer_sync: bool = False):
     """Start a device extraction; returns ``finish() -> (verts, faces)``.
 
     The device->host copies are started asynchronously, so the caller
@@ -546,6 +547,13 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
     shape (the HR/LR pair of extract_pair) pass distinct tags so the
     smaller mesh's cached buckets don't force a recount-and-rerun of
     the larger one on every call.
+
+    ``defer_sync=True`` returns ``resolve() -> finish`` instead: the
+    extraction core is dispatched immediately, but the counts fetch (a
+    host<->device round trip that would serialize back-to-back
+    extractions) is postponed until ``resolve()``. extract_pair uses
+    this to enqueue the HR and LR cores with no sync in between, so
+    the device runs them as one pipelined stream.
     """
     if max_verts > (1 << 21):
         raise ValueError("packed faces hold 21-bit vertex indices: "
@@ -575,7 +583,7 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
                    min(max_pts, _bucket(max(np0, 1), 1 << 15)),
                    None)
 
-    def run(buckets):
+    def enqueue(buckets):
         bc, bp, bt = buckets
         mc = min(max_cells, bc)
         mp = min(max_pts, bp)
@@ -585,75 +593,88 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
         mv = min(max_verts, ns * mp)
         out = _march_core(vol.reshape(-1), float(level), (X, Y, Z),
                           mc, mp, mt, mv, cell_chunk, algorithm)
-        counts = tuple(map(int, jax.device_get(out[5:10])))
-        return out, mc, mp, mt, mv, counts
+        return out, mc, mp, mt, mv
 
-    out, mc, mp, mt, mv, (nv, nf, ncl, nt, npt) = run(buckets)
-    for attempt in range(2):
-        if ncl <= mc and npt <= mp and nt <= mt and nv <= mv:
-            break
-        # speculative bucket miss (or true overflow): size to the real
-        # counts and rerun
-        if ncl > max_cells or npt > max_pts or nt > max_tris \
-                or nv > max_verts:
+    # the core is DISPATCHED here; the counts fetch (a device sync)
+    # happens in resolve(), so a deferred caller can enqueue several
+    # extractions back-to-back and the device pipelines them
+    pend = enqueue(buckets)
+
+    def resolve():
+        out, mc, mp, mt, mv = pend
+        nv, nf, ncl, nt, npt = map(int, jax.device_get(out[5:10]))
+        for attempt in range(2):
+            if ncl <= mc and npt <= mp and nt <= mt and nv <= mv:
+                break
+            # speculative bucket miss (or true overflow): size to the
+            # real counts and rerun
+            if ncl > max_cells or npt > max_pts or nt > max_tris \
+                    or nv > max_verts:
+                raise ValueError(
+                    f"marching_tetrahedra_device capacity exceeded: "
+                    f"cells {ncl}/{max_cells}, pts {npt}/{max_pts}, "
+                    f"tris {nt}/{max_tris}, verts {nv}/{max_verts}")
+            # a clipped cell bucket undercounts triangles, so the
+            # observed nt is scaled by the unprocessed-cell ratio
+            # before the 25% headroom; a second miss falls back to the
+            # worst-case tris_per_cell bound (bt=None)
+            nt_est = nt if ncl <= mc else -(-nt * ncl // max(mc, 1))
+            bt = (None if attempt == 1
+                  else min(max_tris, _bucket(nt_est + (nt_est >> 2),
+                                             1 << 16)))
+            bks = (min(max_cells, _bucket(ncl, 1 << 15)),
+                   min(max_pts, _bucket(npt, 1 << 15)), bt)
+            out, mc, mp, mt, mv = enqueue(bks)
+            nv, nf, ncl, nt, npt = map(int, jax.device_get(out[5:10]))
+        if ncl > mc or npt > mp or nt > mt or nv > mv:
             raise ValueError(
                 f"marching_tetrahedra_device capacity exceeded: cells "
-                f"{ncl}/{max_cells}, pts {npt}/{max_pts}, tris "
-                f"{nt}/{max_tris}, verts {nv}/{max_verts}")
-        # a clipped cell bucket undercounts triangles, so the observed
-        # nt is scaled by the unprocessed-cell ratio before the 25%
-        # headroom; a second miss falls back to the worst-case
-        # tris_per_cell bound (bt=None)
-        nt_est = nt if ncl <= mc else -(-nt * ncl // max(mc, 1))
-        bt = (None if attempt == 1
-              else min(max_tris, _bucket(nt_est + (nt_est >> 2),
-                                         1 << 16)))
-        buckets = (min(max_cells, _bucket(ncl, 1 << 15)),
-                   min(max_pts, _bucket(npt, 1 << 15)), bt)
-        out, mc, mp, mt, mv, (nv, nf, ncl, nt, npt) = run(buckets)
-    if ncl > mc or npt > mp or nt > mt or nv > mv:
-        raise ValueError(
-            f"marching_tetrahedra_device capacity exceeded: cells "
-            f"{ncl}/{mc}, pts {npt}/{mp}, tris {nt}/{mt}, verts "
-            f"{nv}/{mv}")
-    _LAST_CELL_BUCKET[bkey] = (mc, mp,
-                               min(max_tris,
-                                   _bucket(nt + (nt >> 2), 1 << 16)))
-    vid_of, t_of, w0, w1, compact_p = out[:5]
-    max_pts = mp
-    # fetch in coarse buckets so the slice programs are reused
-    bv = min(_bucket(nv), mv)
-    bf = min(_bucket(nf), mt)
-    bc = min(_bucket(npt), mp + 1)
-    slices = [vid_of[:bv], t_of[:bv], w0[:bf], w1[:bf], compact_p[:bc]]
-    for s in slices:
-        try:
-            s.copy_to_host_async()
-        except Exception:
-            pass  # backend without async copies: finish() fetches sync
+                f"{ncl}/{mc}, pts {npt}/{mp}, tris {nt}/{mt}, verts "
+                f"{nv}/{mv}")
+        _LAST_CELL_BUCKET[bkey] = (mc, mp,
+                                   min(max_tris,
+                                       _bucket(nt + (nt >> 2), 1 << 16)))
+        vid_of, t_of, w0, w1, compact_p = out[:5]
+        # fetch in coarse buckets so the slice programs are reused
+        bv = min(_bucket(nv), mv)
+        bf = min(_bucket(nf), mt)
+        bc = min(_bucket(npt), mp + 1)
+        slices = [vid_of[:bv], t_of[:bv], w0[:bf], w1[:bf],
+                  compact_p[:bc]]
+        for s in slices:
+            try:
+                s.copy_to_host_async()
+            except Exception:
+                pass  # backend without async copies: finish() is sync
 
-    def finish() -> Tuple[np.ndarray, np.ndarray]:
-        vid = np.asarray(jax.device_get(slices[0]))[:nv]
-        t = np.asarray(jax.device_get(slices[1]))[:nv]
-        w0h = np.asarray(jax.device_get(slices[2]))[:nf].view(np.uint32)
-        w1h = np.asarray(jax.device_get(slices[3]))[:nf].view(np.uint32)
-        comp = np.asarray(jax.device_get(slices[4]))
-        # decode vertices: replay lo + t * delta in f32 (bit-identical
-        # to the device formula)
-        slot = vid // max_pts
-        rank = vid % max_pts
-        gid = comp[rank]
-        lo = np.stack([gid // (Y * Z), (gid // Z) % Y, gid % Z],
-                      1).astype(np.float32)
-        verts = lo + t[:, None].astype(np.float32) \
-            * deltas[slot].astype(np.float32)
-        f0 = (w0h & 0x1FFFFF).astype(np.int64)
-        f1 = ((w0h >> 21) | ((w1h & 0x3FF) << 11)).astype(np.int64)
-        f2 = ((w1h >> 10) & 0x1FFFFF).astype(np.int64)
-        faces = np.stack([f0, f1, f2], axis=1)
-        return verts, faces
+        def finish() -> Tuple[np.ndarray, np.ndarray]:
+            vid = np.asarray(jax.device_get(slices[0]))[:nv]
+            t = np.asarray(jax.device_get(slices[1]))[:nv]
+            w0h = np.asarray(jax.device_get(slices[2]))[:nf] \
+                .view(np.uint32)
+            w1h = np.asarray(jax.device_get(slices[3]))[:nf] \
+                .view(np.uint32)
+            comp = np.asarray(jax.device_get(slices[4]))
+            # decode vertices: replay lo + t * delta in f32
+            # (bit-identical to the device formula)
+            slot = vid // mp
+            rank = vid % mp
+            gid = comp[rank]
+            lo = np.stack([gid // (Y * Z), (gid // Z) % Y, gid % Z],
+                          1).astype(np.float32)
+            verts = lo + t[:, None].astype(np.float32) \
+                * deltas[slot].astype(np.float32)
+            f0 = (w0h & 0x1FFFFF).astype(np.int64)
+            f1 = ((w0h >> 21) | ((w1h & 0x3FF) << 11)).astype(np.int64)
+            f2 = ((w1h >> 10) & 0x1FFFFF).astype(np.int64)
+            faces = np.stack([f0, f1, f2], axis=1)
+            return verts, faces
 
-    return finish
+        return finish
+
+    if defer_sync:
+        return resolve
+    return resolve()
 
 
 def marching_tetrahedra_device(volume, level: float = 0.5,
