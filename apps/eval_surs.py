@@ -64,6 +64,14 @@ def main():
                 params["mlp_lr"], params["mlp_hr"], cfg=cfg, dtype=kdt)
     else:
         pack = False
+    if cols_w is None and cfg.use_octree \
+            and getattr(cfg, "octree_mode", "hostloop") == "runs":
+        # --octree_mode runs: dirty-column-window octree evaluation
+        # (recon/evaluator_runs.py; falls back to mono off the
+        # separable-calib geometry). Works on CPU via the XLA twin.
+        from surs_tpu.ops.fused_mlp import prepare_cols_weights
+        cols_w = prepare_cols_weights(
+            params["mlp_lr"], params["mlp_hr"], cfg=cfg, dtype=kdt)
 
     rec = _get_reconstructor(
         model, query_fn, feature_dtype=fdt, feature_pack=pack,

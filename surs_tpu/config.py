@@ -173,8 +173,11 @@ class SuRSConfig:
                                     # tris, classic MC table); auto ->
                                     # cubes on TPU, tets on CPU
     octree_mode: str = "auto"       # eval CLI / gen_mesh evaluator:
-                                    # hostloop | fused | mono; auto ->
-                                    # mono (one program) on TPU,
+                                    # hostloop | fused | mono | runs
+                                    # (dirty-column-window evaluation;
+                                    # falls back to mono off the
+                                    # separable-calib fast path); auto
+                                    # -> mono (one program) on TPU,
                                     # hostloop on CPU
     serve_octree_mode: str = "auto"  # SuRSService evaluator: same
                                     # choices/auto rule as octree_mode

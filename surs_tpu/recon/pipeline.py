@@ -177,17 +177,36 @@ class Reconstructor:
                     mat, self.cols_meta[0], self.cols_meta[1],
                     cache=self._cache)
                 return sdf_hr, sdf_lr, mat
-        ctx = self._make_ctx(weights, feats_lr, feat_hr, calib)
         init_dirty = None
         if silhouette is not None:
             init_dirty = silhouette_init_masks(
                 silhouette, np.asarray(calib), resolution, mat,
                 init_resolution=init_resolution,
                 dilate=silhouette_dilate, cache=self._cache)
+        if use_octree and self.octree_mode == "runs" \
+                and self.cols_weights is not None:
+            from .evaluator_runs import (eval_grid_octree_runs,
+                                         runs_supported)
+            if runs_supported(calib, mat, resolution, init_resolution):
+                # dirty-column-window evaluation: features gathered
+                # once per 8-point z-window, column-shared kernel
+                # (~2.8x fewer MACs / ~8x fewer gather bytes per query
+                # than the generic point path — evaluator_runs.py)
+                sdf_hr, sdf_lr = eval_grid_octree_runs(
+                    self.cols_weights, feats_lr[-1], feat_hr, calib,
+                    resolution, mat, threshold, self.cols_meta[0],
+                    self.cols_meta[1], init_resolution=init_resolution,
+                    feature_dtype=self.feature_dtype,
+                    cache=self._cache, init_dirty=init_dirty)
+                return sdf_hr, sdf_lr, mat
+        ctx = self._make_ctx(weights, feats_lr, feat_hr, calib)
         if use_octree:
+            # 'runs' falls back to the generic mono program when the
+            # geometry/weights don't support the window path
             octree = {"hostloop": eval_grid_octree_hostloop,
                       "fused": eval_grid_octree,
-                      "mono": eval_grid_octree_mono}[self.octree_mode]
+                      "mono": eval_grid_octree_mono,
+                      "runs": eval_grid_octree_mono}[self.octree_mode]
             kw = {"stats_out": stats_out} \
                 if self.octree_mode == "hostloop" else {}
             sdf_hr, sdf_lr = octree(

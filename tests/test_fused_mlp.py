@@ -240,3 +240,40 @@ def test_cols_kernel_z_blocked(mlps, rng):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(lr), np.asarray(lr_x),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_runs_kernel_matches_flax(mlps, rng):
+    """Window ("runs") kernel (interpret=True) == the Flax chain on the
+    expanded per-point inputs, and == its XLA twin. Exercises ragged NR
+    (pad windows dropped) and the kernel's z-major block row layout."""
+    from surs_tpu.ops.fused_mlp import (fused_dual_mlp_runs,
+                                        fused_dual_mlp_runs_xla)
+    _, _, p_lr, p_hr = mlps
+    C_lr, C_hr = 256, 64
+    fw = prepare_fused_weights(p_lr, p_hr, DIMS_LR, DIMS_HR,
+                               base_split=(C_lr, C_hr, 1))
+    NR, zb = 5, 8          # not a multiple of run_block=2? yes: ragged
+    x_lr = jnp.asarray(rng.standard_normal((NR, C_lr)).astype(np.float32))
+    x_hr = jnp.asarray(rng.standard_normal((NR, C_hr)).astype(np.float32))
+    kf = jnp.asarray(rng.standard_normal((NR,)).astype(np.float32))
+    zt = jnp.asarray(np.linspace(-0.3, 0.3, zb).astype(np.float32))
+
+    hr, lr = fused_dual_mlp_runs(x_lr, x_hr, kf, zt, fw, run_block=2,
+                                 interpret=True)
+    assert hr.shape == (NR, zb)
+    hr_x, lr_x = fused_dual_mlp_runs_xla(x_lr, x_hr, kf, zt, fw)
+    np.testing.assert_allclose(np.asarray(hr), np.asarray(hr_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lr_x),
+                               rtol=1e-5, atol=1e-6)
+
+    # oracle: the Flax chain on the expanded per-point concat input
+    zf = np.asarray(kf)[:, None] + np.asarray(zt)[None, :]   # [NR, zb]
+    x_full = jnp.concatenate(
+        [jnp.repeat(x_lr, zb, axis=0), jnp.repeat(x_hr, zb, axis=0),
+         jnp.asarray(zf.reshape(-1, 1))], axis=-1)
+    ref_hr, ref_lr = reference_chain(mlps, x_full)
+    np.testing.assert_allclose(np.asarray(lr).reshape(-1), ref_lr,
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(hr).reshape(-1), ref_hr,
+                               rtol=1e-5, atol=1e-5)
