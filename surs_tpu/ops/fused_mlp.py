@@ -722,8 +722,11 @@ def _kernel_runs(x_lr_ref, x_hrk_ref, *refs, rb: int, zb: int, c_hr: int,
     pred_lr = jax.nn.sigmoid(logit_lr[:, :1])        # [zb*rb, 1]
     logit_hr = chain(z0_hr, hr_w, hr_b, spec_hr, pred=pred_lr)
     pred_hr = jax.nn.sigmoid(logit_hr[:, :1])
-    out_hr_ref[:] = pred_hr[:, 0]
-    out_lr_ref[:] = pred_lr[:, 0]
+    # one [1, zb*rb] output row per block (a 1-D out block would need
+    # the XLA T(1024) tiling; the [zb*rb, 1] -> row relayout is the
+    # same sublane->lane move the cols kernel does)
+    out_hr_ref[0, :] = pred_hr[:, 0]
+    out_lr_ref[0, :] = pred_lr[:, 0]
 
 
 def fused_dual_mlp_runs(x_lr: jnp.ndarray, x_hr: jnp.ndarray,
@@ -795,7 +798,7 @@ def fused_dual_mlp_runs(x_lr: jnp.ndarray, x_hr: jnp.ndarray,
     for a in weight_arrays:
         in_specs.append(pl.BlockSpec(a.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
-    out_specs = [pl.BlockSpec((zb * rb,), lambda i: (i,),
+    out_specs = [pl.BlockSpec((1, zb * rb), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)] * 2
 
     out_hr, out_lr = pl.pallas_call(
@@ -803,7 +806,8 @@ def fused_dual_mlp_runs(x_lr: jnp.ndarray, x_hr: jnp.ndarray,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=[jax.ShapeDtypeStruct((NRp * zb,), jnp.float32)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((NRp // rb, zb * rb),
+                                        jnp.float32)] * 2,
         interpret=interpret,
     )(x_lr_p, x_hrk, *z0_arrays, *weight_arrays)
 

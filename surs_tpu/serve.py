@@ -86,6 +86,16 @@ class SuRSService:
                     cfg=cfg, dtype=kdt)
         else:
             pack = False
+        if cols_w is None and cfg.use_octree \
+                and getattr(cfg, "serve_octree_mode",
+                            "hostloop") == "runs":
+            # dirty-column-window octree serving (evaluator_runs.py);
+            # works on CPU via the XLA twin, falls back to mono off
+            # the separable-calib geometry
+            from .ops.fused_mlp import prepare_cols_weights
+            cols_w = prepare_cols_weights(
+                self.params["mlp_lr"], self.params["mlp_hr"], cfg=cfg,
+                dtype=jnp.bfloat16 if fdt is not None else jnp.float32)
         self.rec = Reconstructor(self.model, query_fn=query_fn,
                                  feature_dtype=fdt, feature_pack=pack,
                                  octree_mode=getattr(

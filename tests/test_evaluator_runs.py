@@ -137,3 +137,29 @@ def test_runs_supported_gates():
     assert not runs_supported((rot @ calib[0])[None], mat, 32, 8)
     # init level below the window size
     assert not runs_supported(calib, mat, 16, 4)
+
+
+def test_reconstructor_runs_mode_fallback():
+    """octree_mode='runs' must fall back to the generic mono program
+    when no cols weights are attached (and still produce fields)."""
+    from surs_tpu.models import SuRSNet
+    from surs_tpu.recon.pipeline import Reconstructor
+    rng = np.random.default_rng(7)
+    net = SuRSNet(load_size=32, num_stack_lr=2)
+    S = 16
+    img = jnp.asarray(rng.standard_normal((1, S, S, 3)).astype(np.float32))
+    img_hr = jnp.asarray(
+        rng.standard_normal((1, 2 * S, 2 * S, 3)).astype(np.float32))
+    pts0 = jnp.asarray((rng.random((1, 3, 4)) - 0.5).astype(np.float32))
+    calib = jnp.asarray(np.diag([2.0, -2.0, 2.0, 1.0]).astype(
+        np.float32))[None]
+    params = net.init(jax.random.PRNGKey(0), img, img_hr, pts0, pts0,
+                      calib, train=True)["params"]
+    rec = Reconstructor(net, octree_mode="runs")     # no cols_weights
+    _, feats_lr, feat_hr = rec.encode(params, img)
+    sdf_hr, sdf_lr, _ = rec.evaluate(
+        params, feats_lr, feat_hr, np.asarray(calib), 16,
+        np.array([-0.5] * 3), np.array([0.5] * 3),
+        num_samples=977, init_resolution=8)
+    assert sdf_hr.shape == (16, 16, 16)
+    assert np.isfinite(np.asarray(sdf_hr)).all()
