@@ -84,9 +84,9 @@ yy, xx = np.mgrid[:Sm, :Sm].astype(np.float32)
 disc = ((((xx - Sm / 2) ** 2 + (yy - Sm / 2) ** 2)
          < (0.35 * Sm) ** 2)).astype(np.float32)
 
-for mode in ("mono", "runs"):
+for mode, pack in (("mono", True), ("runs", False), ("runs", True)):
     rec = Reconstructor(model, query_fn=qf, octree_mode=mode,
-                        feature_dtype=jnp.bfloat16, feature_pack=True,
+                        feature_dtype=jnp.bfloat16, feature_pack=pack,
                         cols_weights=fw3, load_size=cfg.loadSize,
                         z_size=cfg.z_size)
     _, feats_lr, feat_hr = rec.encode(params, img)
@@ -107,5 +107,5 @@ for mode in ("mono", "runs"):
             hr, _, _ = rec.evaluate(*args, **kw)
             fetch(hr[0, 0, 0])
             best = min(best, time.time() - t0)
-        print(f"{mode:5s} {label:10s}: first {t1:.1f}s, "
-              f"steady {best:.3f}s", flush=True)
+        print(f"{mode:5s} pack={int(pack)} {label:10s}: "
+              f"first {t1:.1f}s, steady {best:.3f}s", flush=True)

@@ -102,11 +102,17 @@ def _runs_level_step(R: int, reso: int, nwin_chunk: int, run_block: int,
                      load_size: int, z_size: float, use_pallas: bool,
                      interpret: bool, mat: np.ndarray,
                      val_hr_f, val_lr_f, evald_f, rfh_f, rfl_f,
-                     cctx, init_lat=None):
-    """Evaluate every still-dirty point at stride ``reso`` via windows."""
+                     cctx, init_lat=None, lr_packed: bool = False):
+    """Evaluate every still-dirty point at stride ``reso`` via windows.
+
+    ``lr_packed``: ``cctx["feat_lr"]`` is a :func:`pack_bilinear`-packed
+    map — one contiguous quad-row gather per window instead of four
+    scattered row gathers for the heavy 256-channel map.
+    """
     from ..ops.fused_mlp import fused_dual_mlp_runs, fused_dual_mlp_runs_xla
     from ..ops.geometry import orthogonal, in_image_mask, normalize_depth
-    from ..ops.grid_sample import grid_sample_points
+    from ..ops.grid_sample import (grid_sample_points,
+                                   grid_sample_points_packed)
 
     L = R // reso
     assert L % ZB == 0, (L, ZB)
@@ -147,8 +153,9 @@ def _runs_level_step(R: int, reso: int, nwin_chunk: int, run_block: int,
             xyz = orthogonal(pts[None], cctx["calib"])
             mask = in_image_mask(xyz[:, :2, :])[0]           # [C]
             uv = jnp.swapaxes(xyz[:, :2, :], 1, 2)
-            x_lr = grid_sample_points(cctx["feat_lr"], uv)[0].astype(
-                jnp.float32)
+            sample_lr = grid_sample_points_packed if lr_packed \
+                else grid_sample_points
+            x_lr = sample_lr(cctx["feat_lr"], uv)[0].astype(jnp.float32)
             x_hr = grid_sample_points(cctx["feat_hr"], uv)[0].astype(
                 jnp.float32)
             kf = kf_all[k0]
@@ -238,6 +245,7 @@ def eval_grid_octree_runs(cols_weights, feat_lr, feat_hr, calib,
                           use_pallas: Optional[bool] = None,
                           interpret: bool = False,
                           feature_dtype=None,
+                          feature_pack: bool = False,
                           cache: Optional[Dict] = None,
                           init_dirty: Optional[jnp.ndarray] = None
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -265,7 +273,7 @@ def eval_grid_octree_runs(cols_weights, feat_lr, feat_hr, calib,
     init_lats, init_centers = _normalize_init(init_dirty, R, schedule)
     key = ("runs", R, nwin_chunk, run_block, float(threshold),
            mat.tobytes(), has_init, init_resolution, use_pallas,
-           str(feature_dtype))
+           str(feature_dtype), feature_pack)
     if key not in cache:
         def run(cctx, init_lats, init_centers):
             if feature_dtype is not None:
@@ -274,12 +282,19 @@ def eval_grid_octree_runs(cols_weights, feat_lr, feat_hr, calib,
                 cctx = dict(cctx,
                             feat_lr=cctx["feat_lr"].astype(feature_dtype),
                             feat_hr=cctx["feat_hr"].astype(feature_dtype))
+            if feature_pack:
+                # quad-pack the heavy lr map once per evaluation (in
+                # -program; ~8 MB at the reference config) so each
+                # window's lr sample is ONE contiguous row gather
+                from ..ops.grid_sample import pack_bilinear
+                cctx = dict(cctx, feat_lr=pack_bilinear(cctx["feat_lr"]))
             state = _octree_state(R, init_resolution)
             for reso in schedule:
                 vh, vl = _runs_level_step(
                     R, reso, nwin_chunk, run_block, load_size, z_size,
                     use_pallas, interpret, mat, *state, cctx,
-                    init_lats[reso] if has_init else None)
+                    init_lats[reso] if has_init else None,
+                    lr_packed=feature_pack)
                 state = (vh, vl) + state[2:]
                 if reso <= 1:
                     break

@@ -197,6 +197,7 @@ class Reconstructor:
                     resolution, mat, threshold, self.cols_meta[0],
                     self.cols_meta[1], init_resolution=init_resolution,
                     feature_dtype=self.feature_dtype,
+                    feature_pack=self.feature_pack,
                     cache=self._cache, init_dirty=init_dirty)
                 return sdf_hr, sdf_lr, mat
         ctx = self._make_ctx(weights, feats_lr, feat_hr, calib)

@@ -163,3 +163,24 @@ def test_reconstructor_runs_mode_fallback():
         num_samples=977, init_resolution=8)
     assert sdf_hr.shape == (16, 16, 16)
     assert np.isfinite(np.asarray(sdf_hr)).all()
+
+
+def test_runs_octree_packed_matches_unpacked(setup):
+    """feature_pack=True (quad-packed lr gathers) is numerically
+    identical to the 4-tap path (same tap weights, pre-baked padding)."""
+    fw, feat_lr, feat_hr, calib = setup
+    R, init_res = 16, 8
+    mat = grid_matrix((R,) * 3, np.array([-0.5] * 3), np.array([0.5] * 3))
+    kw = dict(threshold=0.1, init_resolution=init_res, nwin_chunk=64,
+              run_block=2, use_pallas=False)
+    hr_a, lr_a = eval_grid_octree_runs(fw, feat_lr, feat_hr, calib, R,
+                                       mat, load_size=LOAD_SIZE,
+                                       z_size=Z_SIZE, **kw)
+    hr_b, lr_b = eval_grid_octree_runs(fw, feat_lr, feat_hr, calib, R,
+                                       mat, load_size=LOAD_SIZE,
+                                       z_size=Z_SIZE, feature_pack=True,
+                                       **kw)
+    np.testing.assert_allclose(np.asarray(hr_b), np.asarray(hr_a),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(lr_b), np.asarray(lr_a),
+                               atol=1e-5)
