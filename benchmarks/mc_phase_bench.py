@@ -64,10 +64,9 @@ for detail, tag in ((0.012, "benchmark humanoid"),
 
     @jax.jit
     def phase1(vol_flat):
-        vol3 = vol_flat.reshape(X, Y, Z)
-        act = td._cells_active(vol3, jnp.float32(0.5)).reshape(-1)
-        pt = td._points_active(vol3, jnp.float32(0.5),
-                               deltas).reshape(-1)
+        in3 = vol_flat.reshape(X, Y, Z) > jnp.float32(0.5)
+        act = td._cells_active(in3).reshape(-1)
+        pt = td._points_active(in3, deltas).reshape(-1)
         (compact, n_cells), (compact_p, n_pts) = \
             td._compact_capped_pair(act, pt, mc, mp)
         m = jnp.arange(mp, dtype=jnp.int32)

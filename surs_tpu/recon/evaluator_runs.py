@@ -46,7 +46,7 @@ from jax import lax
 
 from .evaluator import (_dirty_lat, _prune_upsample, _octree_state,
                         _level_schedule, _normalize_init,
-                        dense_cols_separable)
+                        dense_cols_separable, _pack_bits)
 
 ZB = 8                 # window size (z points per window)
 _WBLOCK = 64           # windows per 1-D summary block
@@ -81,6 +81,30 @@ def _win_group_compact(win_flat, blk_compact, g0, nb, block: int,
     flags = win_flat[gidx] & valid_m[:, None]
     flags = flags.reshape(-1)
     gidx = gidx.reshape(-1)
+    na_g = jnp.sum(flags.astype(jnp.int32))
+    pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+    target = jnp.where(flags, pos, out_len)
+    compact = jnp.zeros((out_len,), jnp.int32).at[target].set(
+        gidx, mode="drop")
+    return compact, na_g
+
+
+def _win_group_compact_packed(wwords, blk_compact, g0, nb, block: int,
+                              group_blocks: int, out_len: int):
+    """`_win_group_compact` reading a `_pack_bits`-packed window
+    lattice: TWO int32 word gathers per 64-window block instead of 64
+    per-window bool gathers (the compaction is gather-descriptor
+    -bound). Requires block == 64; output order is identical."""
+    m = g0 + jnp.arange(group_blocks, dtype=jnp.int32)
+    valid_m = m < nb
+    b = blk_compact[m]                                       # [Mg]
+    widx = b[:, None] * 2 + jnp.arange(2, dtype=jnp.int32)[None, :]
+    w = wwords[widx]                                         # [Mg, 2]
+    sh = jnp.arange(32, dtype=jnp.int32)[None, None, :]
+    flags = ((((w[:, :, None] >> sh) & 1) == 1)
+             & valid_m[:, None, None]).reshape(-1)
+    gidx = (b[:, None] * block
+            + jnp.arange(block, dtype=jnp.int32)[None, :]).reshape(-1)
     na_g = jnp.sum(flags.astype(jnp.int32))
     pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
     target = jnp.where(flags, pos, out_len)
@@ -195,6 +219,8 @@ def _runs_level_step(R: int, reso: int, nwin_chunk: int, run_block: int,
     S = _WGROUP_BLOCKS * _WBLOCK
     blk_compact, nb = _win_block_summary(win, NW, _WBLOCK,
                                          _WGROUP_BLOCKS)
+    wpacked = _WBLOCK == 64 and NW % 32 == 0
+    wwords = _pack_bits(win) if wpacked else None
     # buffered append (same scheme as evaluator._level_step): fine
     # -grained compaction groups, fully packed kernel chunks
     cap = max(4 * S // C, 1) * C
@@ -202,9 +228,14 @@ def _runs_level_step(R: int, reso: int, nwin_chunk: int, run_block: int,
 
     def group_body(carry):
         vh, vl, buf, fill, g = carry
-        compact, na_g = _win_group_compact(
-            win, blk_compact, g * _WGROUP_BLOCKS, nb, _WBLOCK,
-            _WGROUP_BLOCKS, S)
+        if wpacked:
+            compact, na_g = _win_group_compact_packed(
+                wwords, blk_compact, g * _WGROUP_BLOCKS, nb, _WBLOCK,
+                _WGROUP_BLOCKS, S)
+        else:
+            compact, na_g = _win_group_compact(
+                win, blk_compact, g * _WGROUP_BLOCKS, nb, _WBLOCK,
+                _WGROUP_BLOCKS, S)
         buf = lax.dynamic_update_slice(buf, compact[:S], (fill,))
         fill = fill + na_g
         last = (g + 1) * _WGROUP_BLOCKS >= nb

@@ -58,7 +58,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .tetra import _CORNER_OFFSETS, _TETS, _TET_EDGES, _CASE_TRIS
-from .evaluator import _block_summary, _group_compact
+from .evaluator import _block_summary, _group_compact, _compact_block_ids
 
 # Adaptive compaction group: small enough that a lightly-dirty lattice
 # (a human surface marks ~10-60k 4^3 blocks) compacts in a few cheap
@@ -177,26 +177,30 @@ _ALGOS = {
 
 # ---- kernel -------------------------------------------------------------
 
-def _cells_active(vol: jnp.ndarray, level) -> jnp.ndarray:
-    """[X,Y,Z] bool lattice: True at base corners of straddling cells."""
-    X, Y, Z = vol.shape
-    cmin = vol[:-1, :-1, :-1]
-    cmax = vol[:-1, :-1, :-1]
+def _cells_active(in3: jnp.ndarray) -> jnp.ndarray:
+    """[X,Y,Z] bool lattice: True at base corners of straddling cells.
+
+    Operates on the inside mask ``in3 = vol > level`` (computed ONCE by
+    the caller and shared with `_points_active`): a cell straddles iff
+    some corner is inside and some corner is outside — equivalent to
+    the min/max-corner test but the 8 shifted stencil reads touch 1-byte
+    bools instead of f32 (4x less HBM traffic at 512^3)."""
+    X, Y, Z = in3.shape
+    any_in = in3[:-1, :-1, :-1]
+    all_in = in3[:-1, :-1, :-1]
     for dx, dy, dz in _CORNER_OFFSETS[1:]:
-        blk = vol[dx:X - 1 + dx, dy:Y - 1 + dy, dz:Z - 1 + dz]
-        cmin = jnp.minimum(cmin, blk)
-        cmax = jnp.maximum(cmax, blk)
-    act = (cmin <= level) & (cmax > level)
+        blk = in3[dx:X - 1 + dx, dy:Y - 1 + dy, dz:Z - 1 + dz]
+        any_in = any_in | blk
+        all_in = all_in & blk
+    act = any_in & jnp.logical_not(all_in)
     return jnp.pad(act, ((0, 1),) * 3)
 
 
-def _points_active(vol: jnp.ndarray, level,
-                   deltas: np.ndarray) -> jnp.ndarray:
+def _points_active(in3: jnp.ndarray, deltas: np.ndarray) -> jnp.ndarray:
     """[X,Y,Z] bool lattice: True where the point is the min corner of
     at least one level-crossing edge of the algorithm's delta set —
     the canonical-vertex owners the weld enumerates."""
-    X, Y, Z = vol.shape
-    in3 = vol > level
+    X, Y, Z = in3.shape
     out = jnp.zeros_like(in3)
     for dx, dy, dz in deltas:
         a = in3[:X - dx, :Y - dy, :Z - dz]
@@ -244,6 +248,74 @@ def _compact_capped(flags_flat: jnp.ndarray, cap: int):
         lambda ca: ca[2] * _MC_GROUP_BLOCKS < nb, body,
         (out0, jnp.int32(0), jnp.int32(0)))
     return out, n
+
+
+def _pack_pair(a_flat: jnp.ndarray, p_flat: jnp.ndarray) -> jnp.ndarray:
+    """Bit-pack TWO bool lattices into one int32 word lattice: entry
+    ``i`` occupies bits (2*(i%16), 2*(i%16)+1) of word ``i//16`` —
+    bit 0 is lattice A (active cells), bit 1 is lattice P (crossing
+    points). One dense elementwise pass (XLA fuses the shift+reduce);
+    downstream group compaction then gathers ONE word per 4-point
+    lattice row instead of 8 per-point bool gathers (2 lattices x 4),
+    and the block summary reads 33 MB of words instead of 2x134 MB of
+    bools at 512^3. Requires len % 16 == 0 (guarded by the caller)."""
+    e = a_flat.astype(jnp.int32) | (p_flat.astype(jnp.int32) << 1)
+    shifts = (jnp.arange(16, dtype=jnp.int32) * 2)[None, :]
+    return jnp.sum(e.reshape(-1, 16) << shifts, axis=1,
+                   dtype=jnp.int32)
+
+
+def _block_summary_pair_packed(words: jnp.ndarray, L: int,
+                               group_blocks: int):
+    """`_block_summary` of the UNION lattice, reading the packed word
+    lattice from `_pack_pair` (block edge fixed at 4: each word holds
+    four 4-entry k-runs, one byte each). Dirty-block ids are compacted
+    by the evaluator's `_compact_block_ids` (3-level above 2^18
+    blocks: the 2M-attempt block scatter at 512^3 goes away)."""
+    Lb = L // 4
+    w3 = words.reshape(L, L, L // 16)
+    jj = (jnp.arange(4, dtype=jnp.int32) * 8)[None, None, None, :]
+    run_any = ((w3[:, :, :, None] >> jj) & 0xFF) != 0   # [L, L, L/16, 4]
+    blk = (run_any.reshape(Lb, 4, Lb, 4, Lb)).any(axis=(1, 3))
+    return _compact_block_ids(blk.reshape(-1), Lb, group_blocks)
+
+
+def _group_compact2_packed(words, blk_compact, g0, nb, L: int,
+                           group_blocks: int, out_len: int):
+    """`_group_compact2` reading the packed pair lattice: per block,
+    16 word gathers (one per (i, j) row, covering both lattices' four
+    k-flags) instead of 128 per-point bool gathers — the compaction is
+    gather-DESCRIPTOR-bound, so this is the 8x lever. A 4-aligned
+    k-run never straddles a 16-entry word (L % 4 == 0), so each row is
+    one word. Output order matches `_group_compact2` exactly (row-major
+    (ti, tj, tk) within block, blocks in summary order)."""
+    Lb = L // 4
+    m = g0 + jnp.arange(group_blocks, dtype=jnp.int32)
+    valid_m = m < nb
+    b = blk_compact[m]
+    bk = b % Lb
+    bj = (b // Lb) % Lb
+    bi = b // (Lb * Lb)
+    r = jnp.arange(16, dtype=jnp.int32)
+    li = bi[:, None] * 4 + (r // 4)[None, :]          # [Mg, 16]
+    lj = bj[:, None] * 4 + (r % 4)[None, :]
+    rowbase = (li * L + lj) * L + (bk * 4)[:, None]   # [Mg, 16]
+    w = words[rowbase >> 4]                           # the gather
+    byte = (w >> ((rowbase & 15) * 2)) & 0xFF         # 4 entries x 2 b
+    jj = jnp.arange(4, dtype=jnp.int32)[None, None, :]
+    gidx = (rowbase[:, :, None] + jj).reshape(-1)
+    vm = valid_m[:, None, None]
+    out = []
+    for shift in (0, 1):
+        flags = ((((byte[:, :, None] >> (2 * jj + shift)) & 1) == 1)
+                 & vm).reshape(-1)
+        n = jnp.sum(flags.astype(jnp.int32))
+        pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        target = jnp.where(flags, pos, out_len)
+        out.append(jnp.zeros((out_len,), jnp.int32).at[target].set(
+            gidx, mode="drop"))
+        out.append(n)
+    return tuple(out)
 
 
 def _group_compact2(a_flat, p_flat, blk_compact, g0, nb, L: int,
@@ -297,14 +369,23 @@ def _compact_capped_pair(act_flat, pt_flat, cap_a: int, cap_p: int):
                 _compact_capped(pt_flat, cap_p))
     G = _MC_GROUP_BLOCKS
     S = G * 64
-    blk_compact, nb = _block_summary(act_flat | pt_flat, L, 4, G)
+    packed = L % 16 == 0 and n_flat % 16 == 0
+    if packed:
+        words = _pack_pair(act_flat, pt_flat)
+        blk_compact, nb = _block_summary_pair_packed(words, L, G)
+    else:
+        blk_compact, nb = _block_summary(act_flat | pt_flat, L, 4, G)
     outa0 = jnp.zeros((cap_a + S,), jnp.int32)
     outp0 = jnp.zeros((cap_p + S,), jnp.int32)
 
     def body(carry):
         outa, na, outp, npt, g = carry
-        ca, na_g, cp, np_g = _group_compact2(
-            act_flat, pt_flat, blk_compact, g * G, nb, L, 4, G, S)
+        if packed:
+            ca, na_g, cp, np_g = _group_compact2_packed(
+                words, blk_compact, g * G, nb, L, G, S)
+        else:
+            ca, na_g, cp, np_g = _group_compact2(
+                act_flat, pt_flat, blk_compact, g * G, nb, L, 4, G, S)
         outa = lax.dynamic_update_slice(outa, ca[:S],
                                         (jnp.minimum(na, cap_a),))
         outp = lax.dynamic_update_slice(outp, cp[:S],
@@ -398,8 +479,9 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_pts: int,
     n_slots = spec["n_slots"]
     deltas = spec["deltas"]
 
-    act_lat = _cells_active(vol3, level).reshape(-1)
-    pt_lat = _points_active(vol3, level, deltas).reshape(-1)
+    in3 = vol3 > level          # ONE f32 pass; both stencils read bools
+    act_lat = _cells_active(in3).reshape(-1)
+    pt_lat = _points_active(in3, deltas).reshape(-1)
     (compact, n_cells), (compact_p, n_pts) = _compact_capped_pair(
         act_lat, pt_lat, max_cells, max_pts)
 
@@ -514,10 +596,9 @@ _LAST_CELL_BUCKET: Dict = {}
 @functools.partial(jax.jit, static_argnames=("dims", "algo"))
 def _count_cells(vol_flat, level, dims, algo: str = "tets"):
     X, Y, Z = dims
-    vol3 = vol_flat.reshape(X, Y, Z)
-    act = _cells_active(vol3, jnp.float32(level))
-    pts = _points_active(vol3, jnp.float32(level),
-                         _ALGOS[algo]["deltas"])
+    in3 = vol_flat.reshape(X, Y, Z) > jnp.float32(level)
+    act = _cells_active(in3)
+    pts = _points_active(in3, _ALGOS[algo]["deltas"])
     return (jnp.sum(act.astype(jnp.int32)),
             jnp.sum(pts.astype(jnp.int32)))
 

@@ -184,3 +184,28 @@ def test_runs_octree_packed_matches_unpacked(setup):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(lr_b), np.asarray(lr_a),
                                atol=1e-5)
+
+
+def test_win_group_compact_packed_matches_unpacked():
+    """The packed window compaction (2 word gathers per 64-window
+    block) must reproduce `_win_group_compact` EXACTLY."""
+    import jax.numpy as jnp
+    from surs_tpu.recon import evaluator_runs as er
+    from surs_tpu.recon.evaluator import _pack_bits
+
+    rng = np.random.default_rng(13)
+    NW = 4096
+    win = jnp.asarray(rng.random((NW,)) < 0.1)
+    G = 8
+    S = G * 64
+    blk, nb = er._win_block_summary(win, NW, 64, G)
+    wwords = _pack_bits(win)
+    for g0 in range(0, int(nb), G):
+        c_u, n_u = er._win_group_compact(win, blk, jnp.int32(g0), nb,
+                                         64, G, S)
+        c_p, n_p = er._win_group_compact_packed(wwords, blk,
+                                                jnp.int32(g0), nb, 64,
+                                                G, S)
+        assert int(n_u) == int(n_p)
+        np.testing.assert_array_equal(
+            np.asarray(c_u)[:int(n_u)], np.asarray(c_p)[:int(n_p)])

@@ -596,3 +596,73 @@ def test_dense_cols_matches_generic_dense():
                                    num_samples=500)
     np.testing.assert_allclose(np.asarray(got2_hr), np.asarray(ref2_hr),
                                atol=1e-6)
+
+
+def test_packed_group_compact_matches_unpacked():
+    """The bit-packed (word-gather) group compaction must reproduce
+    `_group_compact` EXACTLY: same block summary, same compact arrays,
+    same counts — packing can never change the octree's visit order."""
+    import jax.numpy as jnp
+    from surs_tpu.recon import evaluator as ev
+
+    rng = np.random.default_rng(5)
+    L = 32
+    lat = jnp.asarray(rng.random((L ** 3,)) < 0.07)
+    G = 16
+    S = G * 64
+    blk_u, nb_u = ev._block_summary(lat, L, 4, G)
+    words = ev._pack_bits(lat)
+    blk_p, nb_p = ev._block_summary_packed(words, L, G)
+    assert int(nb_u) == int(nb_p)
+    np.testing.assert_array_equal(np.asarray(blk_u), np.asarray(blk_p))
+    for g0 in range(0, int(nb_u), G):
+        c_u, n_u = ev._group_compact(lat, blk_u, jnp.int32(g0), nb_u,
+                                     L, 4, G, S)
+        c_p, n_p = ev._group_compact_packed(words, blk_p, jnp.int32(g0),
+                                            nb_p, L, G, S)
+        assert int(n_u) == int(n_p)
+        np.testing.assert_array_equal(
+            np.asarray(c_u)[:int(n_u)], np.asarray(c_p)[:int(n_p)])
+
+
+def test_octree_packed_compaction_matches_oracle(monkeypatch):
+    """Force the two-level compaction at production block edge 4 with a
+    tiny group capacity so a 32^3 lattice (L % 32 == 0) drives the
+    PACKED multi-group fused path, and pin it to the oracle."""
+    from surs_tpu.recon import evaluator as ev
+    monkeypatch.setattr(ev, "_GROUP_BLOCKS", 8)
+    R, init_res, thr = 32, 8, 0.05
+    assert ev._two_level(R)
+    mat = grid_matrix((R, R, R), np.array([-0.5] * 3), np.array([0.5] * 3))
+    ref_hr, ref_lr = oracle_octree(binary_sphere_eval, R, mat, thr, init_res)
+    got_hr, got_lr = eval_grid_octree(binary_sphere_eval_jax, R, mat, thr,
+                                      init_resolution=init_res,
+                                      num_samples=100)
+    np.testing.assert_allclose(np.asarray(got_hr), ref_hr, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got_lr), ref_lr, atol=1e-6)
+
+
+def test_compact_block_ids_3level_matches_direct():
+    """Above the 2^18-block threshold the dirty-block ids are compacted
+    via the recursive packed superblock path; it must yield exactly the
+    direct path's id SET and count (order is a documented superblock
+    -major permutation)."""
+    import jax.numpy as jnp
+    from surs_tpu.recon import evaluator as ev
+
+    rng = np.random.default_rng(9)
+    Lb = 128                       # Lb^3 = 2M > _3LVL_MIN
+    blk = rng.random((Lb ** 3,)) < 0.004      # ~8k dirty blocks
+    # carve a dense clump so several superblock groups fill unevenly
+    blk3 = blk.reshape(Lb, Lb, Lb)
+    blk3[10:14, 20:40, 50:90] = True
+    blkj = jnp.asarray(blk3.reshape(-1))
+    G = 8192
+    out, nb = ev._compact_block_ids(blkj, Lb, G)
+    want = np.flatnonzero(np.asarray(blkj))
+    assert int(nb) == want.size
+    got = np.sort(np.asarray(out)[:int(nb)])
+    np.testing.assert_array_equal(got, want)
+    # and the direct path agrees on membership
+    nb_d = int(jnp.sum(blkj.astype(jnp.int32)))
+    assert nb_d == want.size

@@ -236,3 +236,67 @@ def test_speculative_bucket_miss_rerun():
         assert_same_mesh(vf, ff, vd, fd)
     finally:
         td._LAST_CELL_BUCKET.clear()
+
+
+def test_packed_pair_compaction_matches_unpacked():
+    """The bit-packed word-gather compaction (L % 16 == 0 fast path)
+    must reproduce the generic per-point pair compaction EXACTLY —
+    same block summary, same per-group compact arrays, same counts —
+    so the packed path can never change which cells/points the
+    extractor sees or their ranks."""
+    import jax.numpy as jnp
+    from surs_tpu.recon import tetra_device as td
+    from surs_tpu.recon.evaluator import _block_summary
+
+    rng = np.random.default_rng(3)
+    L = 32
+    a = jnp.asarray(rng.random((L ** 3,)) < 0.08)
+    p = jnp.asarray(rng.random((L ** 3,)) < 0.12)
+    G = 64          # small groups force several while-loop trips
+    S = G * 64
+
+    blk_u, nb_u = _block_summary(a | p, L, 4, G)
+    words = td._pack_pair(a, p)
+    blk_p, nb_p = td._block_summary_pair_packed(words, L, G)
+    assert int(nb_u) == int(nb_p)
+    np.testing.assert_array_equal(np.asarray(blk_u), np.asarray(blk_p))
+
+    for g0 in range(0, int(nb_u), G):
+        ca_u, na_u, cp_u, np_u = td._group_compact2(
+            a, p, blk_u, jnp.int32(g0), nb_u, L, 4, G, S)
+        ca_p, na_p, cp_p, np_p = td._group_compact2_packed(
+            words, blk_p, jnp.int32(g0), nb_p, L, G, S)
+        assert int(na_u) == int(na_p) and int(np_u) == int(np_p)
+        np.testing.assert_array_equal(
+            np.asarray(ca_u)[:int(na_u)], np.asarray(ca_p)[:int(na_p)])
+        np.testing.assert_array_equal(
+            np.asarray(cp_u)[:int(np_u)], np.asarray(cp_p)[:int(np_p)])
+
+    # and the public pair entry point yields exactly the set of flags
+    (ca, na), (cp, npt) = td._compact_capped_pair(
+        a, p, int(np.sum(np.asarray(a))) + 64,
+        int(np.sum(np.asarray(p))) + 64)
+    assert int(na) == int(np.sum(np.asarray(a)))
+    assert int(npt) == int(np.sum(np.asarray(p)))
+    got_a = sorted(np.asarray(ca)[:int(na)].tolist())
+    got_p = sorted(np.asarray(cp)[:int(npt)].tolist())
+    assert got_a == np.flatnonzero(np.asarray(a)).tolist()
+    assert got_p == np.flatnonzero(np.asarray(p)).tolist()
+
+
+def test_sphere_32_packed_path_matches_host():
+    """32^3 (L % 16 == 0): the packed word-gather compaction feeds the
+    full extractor; mesh must equal the host reference. (A noise field
+    at this size hits ~1e-4 of vertices whose f32 interpolation
+    parameter differs from the float64 host oracle by one ulp exactly
+    on a quantization boundary — smooth fields, like every other
+    strict mesh test here, avoid that test artifact; the EXACT packed
+    == unpacked invariant is pinned by
+    test_packed_pair_compaction_matches_unpacked.)"""
+    vol = sphere_vol(32, (15.2, 16.1, 14.8), 11.3)
+    vh, fh = mt_host(vol, 0.5)
+    vd, fd = marching_tetrahedra_device(
+        vol, 0.5, max_cells=1 << 16, max_tris=1 << 19,
+        max_verts=1 << 18, cell_chunk=1 << 10)
+    assert fh.shape[0] > 1000
+    assert_same_mesh(vh, fh, vd, fd)
