@@ -74,6 +74,7 @@ for detail, tag in ((0.012, "benchmark humanoid"),
                          XYZ)
         rankp_lat = jnp.zeros((XYZ,), jnp.int32).at[ptgt].set(
             m, mode="drop")
+        rankp_lat = rankp_lat | (td._case_lattice(in3).reshape(-1) << 24)
         return compact, compact_p, rankp_lat, n_cells, n_pts
 
     compact, compact_p, rankp_lat, nc, npts = timed(
@@ -92,7 +93,7 @@ for detail, tag in ((0.012, "benchmark humanoid"),
             gids = compact[jnp.minimum(idx, mc)]
             v0, v1, v2, valid = td._emit_cells(
                 vol_flat, gids, cell_valid, rankp_lat, jnp.float32(0.5),
-                (X, Y, Z), mp, ALGO)
+                (X, Y, Z), mp, ALGO, fold_case=True)
             pos = n_tris + jnp.cumsum(valid.astype(jnp.int32)) - 1
             ftgt = jnp.where(valid & (pos < mt), pos, mt)
             f0 = f0.at[ftgt].set(v0, mode="drop")

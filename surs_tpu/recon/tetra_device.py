@@ -196,6 +196,20 @@ def _cells_active(in3: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(act, ((0, 1),) * 3)
 
 
+def _case_lattice(in3: jnp.ndarray) -> jnp.ndarray:
+    """[X,Y,Z] int32: the 8-bit cell sign code at each cell's BASE
+    corner (bit c = inside-mask at ring-order corner _CORNER_OFFSETS[c];
+    zero on the max planes). One dense stencil pass; the emit loop then
+    reads the whole case from the base corner's rank-lattice gather
+    instead of gathering 8 volume values per cell."""
+    X, Y, Z = in3.shape
+    case = jnp.zeros((X - 1, Y - 1, Z - 1), jnp.int32)
+    for c, (dx, dy, dz) in enumerate(_CORNER_OFFSETS):
+        case = case | (in3[dx:X - 1 + dx, dy:Y - 1 + dy,
+                           dz:Z - 1 + dz].astype(jnp.int32) << c)
+    return jnp.pad(case, ((0, 1),) * 3)
+
+
 def _points_active(in3: jnp.ndarray, deltas: np.ndarray) -> jnp.ndarray:
     """[X,Y,Z] bool lattice: True where the point is the min corner of
     at least one level-crossing edge of the algorithm's delta set —
@@ -400,7 +414,7 @@ def _compact_capped_pair(act_flat, pt_flat, cap_a: int, cap_p: int):
 
 def _emit_cells(vol_flat, cell_gids, cell_valid, rankp_lat, level,
                 dims: Tuple[int, int, int], max_pts: int,
-                algo: str = "tets"):
+                algo: str = "tets", fold_case: bool = False):
     """Per-chunk triangle emission, fully 1-D.
 
     cell_gids [K] flat base-corner ids (garbage where ~cell_valid).
@@ -410,10 +424,14 @@ def _emit_cells(vol_flat, cell_gids, cell_valid, rankp_lat, level,
     where rank comes from the crossing-point lattice — presence and
     the interpolation parameter are recomputed in the finalize pass.
 
-    Gather budget (the cost driver): 8 volume gathers + 8 point-rank
-    gathers per cell (corner-major [8, K] rows), then ONE packed-table
-    lookup per (group, tri-slot); min-corner ranks come from the
-    pre-gathered rankp8T rows via 3-bit select chains.
+    Gather budget (the cost driver): 8 point-rank gathers per cell
+    (corner-major [8, K] rows), then ONE packed-table lookup per
+    (group, tri-slot); min-corner ranks come from the pre-gathered
+    rankp8T rows via 3-bit select chains. When ``fold_case`` the
+    rank lattice carries the dense 8-bit cell sign code in bits 24-31
+    (`_case_lattice`), so the base corner's rank gather delivers the
+    whole case and the 8 volume gathers per cell disappear; otherwise
+    (max_pts >= 2^24: no free rank bits) the volume is gathered.
     """
     X, Y, Z = dims
     bz = cell_gids % Z
@@ -427,9 +445,14 @@ def _emit_cells(vol_flat, cell_gids, cell_valid, rankp_lat, level,
     cgy = by[None, :] + offy[:, None]
     cgz = bz[None, :] + offz[:, None]
     gid8 = (cgx * Y + cgy) * Z + cgz
-    val8T = vol_flat[gid8]                                 # [8, K]
-    in8 = (val8T > level).astype(jnp.int32)
     rankp8T = rankp_lat[gid8]                              # [8, K]
+    if fold_case:
+        code8 = (rankp8T[0] >> 24) & 0xFF                  # [K]
+        in8 = [(code8 >> c) & 1 for c in range(8)]
+        rankp8T = rankp8T & 0xFFFFFF
+    else:
+        val8T = vol_flat[gid8]                             # [8, K]
+        in8 = (val8T > level).astype(jnp.int32)
 
     def sel8(rows, ox, oy, oz):
         """rows[corner_id(ox, oy, oz)] per element, where corner ids
@@ -485,12 +508,18 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_pts: int,
     (compact, n_cells), (compact_p, n_pts) = _compact_capped_pair(
         act_lat, pt_lat, max_cells, max_pts)
 
-    # point-rank lattice: rankp_lat[crossing-point gid] = compact rank
+    # point-rank lattice: rankp_lat[crossing-point gid] = compact rank;
+    # with free upper bits (every production max_pts) the dense 8-bit
+    # cell sign code rides in bits 24-31 so the emit loop's base-corner
+    # rank gather replaces its 8 per-cell volume gathers
+    fold_case = max_pts < (1 << 24)
     mp_ = jnp.arange(max_pts, dtype=jnp.int32)
     ptgt = jnp.where(mp_ < jnp.minimum(n_pts, max_pts),
                      compact_p[:max_pts], XYZ)
     rankp_lat = jnp.zeros((XYZ,), jnp.int32).at[ptgt].set(
         mp_, mode="drop")
+    if fold_case:
+        rankp_lat = rankp_lat | (_case_lattice(in3).reshape(-1) << 24)
 
     n_vid = n_slots * max_pts
     fbuf0 = tuple(jnp.zeros((max_tris + 1,), jnp.int32) for _ in range(3))
@@ -505,7 +534,7 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_pts: int,
         gids = compact[jnp.minimum(idx, max_cells)]
         v0, v1, v2, valid = _emit_cells(
             vol_flat, gids, cell_valid, rankp_lat, level, dims,
-            max_pts, algo)
+            max_pts, algo, fold_case=fold_case)
         # compact this chunk's triangles into the global buffers
         pos = n_tris + jnp.cumsum(valid.astype(jnp.int32)) - 1
         ftgt = jnp.where(valid & (pos < max_tris), pos, max_tris)
