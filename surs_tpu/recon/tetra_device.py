@@ -196,6 +196,111 @@ def _cells_active(in3: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(act, ((0, 1),) * 3)
 
 
+def _pack_inside_z(vol3: jnp.ndarray, level) -> jnp.ndarray:
+    """[X,Y,Z] f32 -> [X,Y,Z/32] int32 inside-mask words (bit k of word
+    w = vol[x,y,32w+k] > level). ONE fused dense pass over the volume;
+    the downstream stencils then run entirely in the word domain, so
+    the bool inside/active/point lattices (3 x 134 MB at 512^3) are
+    never materialized and every shifted stencil read touches 32x fewer
+    bytes. Requires Z % 32 == 0 (guarded by the caller)."""
+    X, Y, Z = vol3.shape
+    b = (vol3 > level).reshape(X, Y, Z // 32, 32).astype(jnp.int32)
+    sh = jnp.arange(32, dtype=jnp.int32)
+    return jnp.sum(b << sh, axis=-1, dtype=jnp.int32)
+
+
+def _shift_words(w: jnp.ndarray, dx: int, dy: int, dz: int) -> jnp.ndarray:
+    """Word lattice of the inside mask shifted by (dx,dy,dz) in {0,1}^3,
+    zero-filled past the max boundary. The z shift is a bit shift with
+    carry-in from the next word (logical: arithmetic >> then clear the
+    sign bit); x/y shifts are whole-word slice+pad."""
+    X, Y, _ = w.shape
+    if dz:
+        nxt = jnp.pad(w[:, :, 1:], ((0, 0), (0, 0), (0, 1)))
+        w = ((w >> 1) & 0x7FFFFFFF) | ((nxt & 1) << 31)
+    if dx:
+        w = jnp.pad(w[1:], ((0, 1), (0, 0), (0, 0)))
+    if dy:
+        w = jnp.pad(w[:, 1:], ((0, 0), (0, 1), (0, 0)))
+    return w
+
+
+def _zero_max_planes_words(w: jnp.ndarray, ax: bool = True, ay: bool = True,
+                           az: bool = True) -> jnp.ndarray:
+    """Clear the requested max-coordinate planes of a word lattice (the
+    padded-with-False planes of the bool stencils)."""
+    X, Y, Wz = w.shape
+    if az:
+        zb = np.full((Wz,), -1, np.int32)
+        zb[-1] = 0x7FFFFFFF
+        w = w & jnp.asarray(zb)[None, None, :]
+    if ax:
+        w = jnp.pad(w[:X - 1], ((0, 1), (0, 0), (0, 0)))
+    if ay:
+        w = jnp.pad(w[:, :Y - 1], ((0, 0), (0, 1), (0, 0)))
+    return w
+
+
+def _cells_active_words(w: jnp.ndarray) -> jnp.ndarray:
+    """`_cells_active` in the packed word domain: bit-parallel over 32
+    z-entries per op, no bool lattice materialized."""
+    anyw = w
+    allw = w
+    for dx, dy, dz in _CORNER_OFFSETS[1:]:
+        s = _shift_words(w, dx, dy, dz)
+        anyw = anyw | s
+        allw = allw & s
+    return _zero_max_planes_words(anyw & ~allw)
+
+
+def _points_active_words(w: jnp.ndarray, deltas: np.ndarray) -> jnp.ndarray:
+    """`_points_active` in the packed word domain."""
+    out = jnp.zeros_like(w)
+    for dx, dy, dz in deltas:
+        x = w ^ _shift_words(w, dx, dy, dz)
+        out = out | _zero_max_planes_words(x, bool(dx), bool(dy), bool(dz))
+    return out
+
+
+def _case_lattice_words(w: jnp.ndarray) -> jnp.ndarray:
+    """`_case_lattice` reading the packed word lattice: 8 shifted WORD
+    reads (17 MB each at 512^3) instead of 8 bool reads (134 MB each);
+    the 32-entry unpack fuses into the consumer's rank-lattice OR."""
+    X, Y, Wz = w.shape
+    sh = jnp.arange(32, dtype=jnp.int32)
+    case = None
+    for c, (dx, dy, dz) in enumerate(_CORNER_OFFSETS):
+        s = _zero_max_planes_words(_shift_words(w, int(dx), int(dy),
+                                                int(dz)))
+        t = ((s[..., None] >> sh) & 1) << c
+        case = t if case is None else case | t
+    return case.reshape(X, Y, Wz * 32)
+
+
+def _spread16(x: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 16 bits of each int32 to the even bit positions
+    (bit j -> bit 2j) — the standard interleave shift-mask chain."""
+    x = x & 0xFFFF
+    x = (x | (x << 8)) & 0x00FF00FF
+    x = (x | (x << 4)) & 0x0F0F0F0F
+    x = (x | (x << 2)) & 0x33333333
+    x = (x | (x << 1)) & 0x55555555
+    return x
+
+
+def _interleave_pair_words(aw: jnp.ndarray, pw: jnp.ndarray) -> jnp.ndarray:
+    """Convert two z-packed word lattices (bit k = entry 32w+k) into the
+    `_pack_pair` layout (2 bits per entry, 16 entries per word: bit 2j =
+    lattice A, bit 2j+1 = lattice P) via bit interleave — elementwise,
+    so the stencil -> compaction handoff never leaves the word domain.
+    Output is bit-identical to `_pack_pair(a_bools, p_bools)`."""
+    a = aw.reshape(-1)
+    p = pw.reshape(-1)
+    lo = _spread16(a) | (_spread16(p) << 1)
+    hi = _spread16((a >> 16) & 0xFFFF) | (_spread16((p >> 16) & 0xFFFF) << 1)
+    return jnp.stack([lo, hi], axis=-1).reshape(-1)
+
+
 def _case_lattice(in3: jnp.ndarray) -> jnp.ndarray:
     """[X,Y,Z] int32: the 8-bit cell sign code at each cell's BASE
     corner (bit c = inside-mask at ring-order corner _CORNER_OFFSETS[c];
@@ -366,40 +471,60 @@ def _group_compact2(a_flat, p_flat, blk_compact, g0, nb, L: int,
     return tuple(out)
 
 
+def _compact_pair_from_words(words, L: int, cap_a: int, cap_p: int):
+    """The packed-pair compaction core: active cells (bit 0) and
+    crossing points (bit 1) of a `_pack_pair`-layout word lattice over
+    ONE shared dirty-block structure. Returns ((compact_a, n_a),
+    (compact_p, n_p)); buffers are [cap + group] long with garbage past
+    the count (consumers mask by count; overflow triggers the caller's
+    recount-and-rerun)."""
+    G = _MC_GROUP_BLOCKS
+    S = G * 64
+    blk_compact, nb = _block_summary_pair_packed(words, L, G)
+    outa0 = jnp.zeros((cap_a + S,), jnp.int32)
+    outp0 = jnp.zeros((cap_p + S,), jnp.int32)
+
+    def body(carry):
+        outa, na, outp, npt, g = carry
+        ca, na_g, cp, np_g = _group_compact2_packed(
+            words, blk_compact, g * G, nb, L, G, S)
+        outa = lax.dynamic_update_slice(outa, ca[:S],
+                                        (jnp.minimum(na, cap_a),))
+        outp = lax.dynamic_update_slice(outp, cp[:S],
+                                        (jnp.minimum(npt, cap_p),))
+        return outa, na + na_g, outp, npt + np_g, g + 1
+
+    outa, na, outp, npt, _ = lax.while_loop(
+        lambda ca: ca[4] * G < nb, body,
+        (outa0, jnp.int32(0), outp0, jnp.int32(0), jnp.int32(0)))
+    return (outa, na), (outp, npt)
+
+
 def _compact_capped_pair(act_flat, pt_flat, cap_a: int, cap_p: int):
     """Compact the active-cell AND crossing-point lattices over ONE
     shared dirty-block structure (their dirty blocks nearly coincide:
     every crossing edge's min corner is a corner of an active cell).
     One block summary instead of two, one set of candidate index math
     per group, and the per-group copy-out is a contiguous
-    dynamic_update_slice instead of a second full element scatter.
-    Returns ((compact_a, n_a), (compact_p, n_p)); the output buffers
-    are [cap + group] long with garbage past the count (consumers mask
-    by count; overflow triggers the caller's recount-and-rerun)."""
+    dynamic_update_slice instead of a second full element scatter."""
     n_flat = act_flat.shape[0]
     L = round(n_flat ** (1 / 3))
     if L ** 3 != n_flat or L % 4 != 0:
         return (_compact_capped(act_flat, cap_a),
                 _compact_capped(pt_flat, cap_p))
+    if L % 16 == 0 and n_flat % 16 == 0:
+        return _compact_pair_from_words(_pack_pair(act_flat, pt_flat),
+                                        L, cap_a, cap_p)
     G = _MC_GROUP_BLOCKS
     S = G * 64
-    packed = L % 16 == 0 and n_flat % 16 == 0
-    if packed:
-        words = _pack_pair(act_flat, pt_flat)
-        blk_compact, nb = _block_summary_pair_packed(words, L, G)
-    else:
-        blk_compact, nb = _block_summary(act_flat | pt_flat, L, 4, G)
+    blk_compact, nb = _block_summary(act_flat | pt_flat, L, 4, G)
     outa0 = jnp.zeros((cap_a + S,), jnp.int32)
     outp0 = jnp.zeros((cap_p + S,), jnp.int32)
 
     def body(carry):
         outa, na, outp, npt, g = carry
-        if packed:
-            ca, na_g, cp, np_g = _group_compact2_packed(
-                words, blk_compact, g * G, nb, L, G, S)
-        else:
-            ca, na_g, cp, np_g = _group_compact2(
-                act_flat, pt_flat, blk_compact, g * G, nb, L, 4, G, S)
+        ca, na_g, cp, np_g = _group_compact2(
+            act_flat, pt_flat, blk_compact, g * G, nb, L, 4, G, S)
         outa = lax.dynamic_update_slice(outa, ca[:S],
                                         (jnp.minimum(na, cap_a),))
         outp = lax.dynamic_update_slice(outp, cp[:S],
@@ -502,11 +627,24 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_pts: int,
     n_slots = spec["n_slots"]
     deltas = spec["deltas"]
 
-    in3 = vol3 > level          # ONE f32 pass; both stencils read bools
-    act_lat = _cells_active(in3).reshape(-1)
-    pt_lat = _points_active(in3, deltas).reshape(-1)
-    (compact, n_cells), (compact_p, n_pts) = _compact_capped_pair(
-        act_lat, pt_lat, max_cells, max_pts)
+    # Stencil phase: in the word domain when the lattice allows it (one
+    # fused pass packs the inside mask along z; stencils, the pair
+    # layout and the case lattice all read 32x fewer bytes and no bool
+    # lattice is ever materialized), else the bool-lattice path.
+    words_path = X == Y == Z and Z % 32 == 0
+    if words_path:
+        wlat = _pack_inside_z(vol3, level)
+        pair_words = _interleave_pair_words(_cells_active_words(wlat),
+                                            _points_active_words(wlat,
+                                                                 deltas))
+        (compact, n_cells), (compact_p, n_pts) = _compact_pair_from_words(
+            pair_words, X, max_cells, max_pts)
+    else:
+        in3 = vol3 > level      # ONE f32 pass; both stencils read bools
+        act_lat = _cells_active(in3).reshape(-1)
+        pt_lat = _points_active(in3, deltas).reshape(-1)
+        (compact, n_cells), (compact_p, n_pts) = _compact_capped_pair(
+            act_lat, pt_lat, max_cells, max_pts)
 
     # point-rank lattice: rankp_lat[crossing-point gid] = compact rank;
     # with free upper bits (every production max_pts) the dense 8-bit
@@ -516,10 +654,17 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_pts: int,
     mp_ = jnp.arange(max_pts, dtype=jnp.int32)
     ptgt = jnp.where(mp_ < jnp.minimum(n_pts, max_pts),
                      compact_p[:max_pts], XYZ)
-    rankp_lat = jnp.zeros((XYZ,), jnp.int32).at[ptgt].set(
-        mp_, mode="drop")
     if fold_case:
-        rankp_lat = rankp_lat | (_case_lattice(in3).reshape(-1) << 24)
+        # scatter-ADD the ranks straight onto the case-initialized
+        # lattice (ranks < 2^24 never carry into the case bits) — one
+        # dense XYZ pass fewer than scatter-then-OR
+        case = (_case_lattice_words(wlat) if words_path
+                else _case_lattice(in3))
+        rankp_lat = (case.reshape(-1) << 24).at[ptgt].add(
+            mp_, mode="drop")
+    else:
+        rankp_lat = jnp.zeros((XYZ,), jnp.int32).at[ptgt].set(
+            mp_, mode="drop")
 
     n_vid = n_slots * max_pts
     fbuf0 = tuple(jnp.zeros((max_tris + 1,), jnp.int32) for _ in range(3))
@@ -625,9 +770,15 @@ _LAST_CELL_BUCKET: Dict = {}
 @functools.partial(jax.jit, static_argnames=("dims", "algo"))
 def _count_cells(vol_flat, level, dims, algo: str = "tets"):
     X, Y, Z = dims
+    deltas = _ALGOS[algo]["deltas"]
+    if X == Y == Z and Z % 32 == 0:
+        w = _pack_inside_z(vol_flat.reshape(X, Y, Z), jnp.float32(level))
+        return (jnp.sum(lax.population_count(_cells_active_words(w))),
+                jnp.sum(lax.population_count(_points_active_words(w,
+                                                                  deltas))))
     in3 = vol_flat.reshape(X, Y, Z) > jnp.float32(level)
     act = _cells_active(in3)
-    pts = _points_active(in3, _ALGOS[algo]["deltas"])
+    pts = _points_active(in3, deltas)
     return (jnp.sum(act.astype(jnp.int32)),
             jnp.sum(pts.astype(jnp.int32)))
 

@@ -322,3 +322,67 @@ def test_no_fold_case_fallback_matches_host():
     assert_same_mesh(vh, fh, vd, fd)
     # counts agree between the two paths
     assert int(n_faces) == fd.shape[0]
+
+
+def test_word_domain_stencils_match_bool_lattices():
+    """The packed-word stencil path (used when X == Y == Z % 32 == 0)
+    must reproduce the bool-lattice stencils bit for bit: cell-active,
+    point-active (both delta sets), the folded case lattice, and the
+    _pack_pair compaction layout."""
+    import jax.numpy as jnp
+    from surs_tpu.recon import tetra_device as td
+
+    rng = np.random.default_rng(7)
+    vol = rng.normal(0.5, 0.4, (32, 32, 32)).astype(np.float32)
+    vol3 = jnp.asarray(vol)
+    in3 = vol3 > 0.5
+    w = td._pack_inside_z(vol3, jnp.float32(0.5))
+
+    # the pack itself round-trips
+    sh = np.arange(32)
+    unpacked = ((np.asarray(w)[..., None] >> sh) & 1).astype(bool)
+    assert np.array_equal(unpacked.reshape(32, 32, 32), np.asarray(in3))
+
+    act_b = np.asarray(td._cells_active(in3))
+    aw = np.asarray(td._cells_active_words(w))
+    assert np.array_equal(((aw[..., None] >> sh) & 1).astype(bool)
+                          .reshape(32, 32, 32), act_b)
+
+    for algo in ("tets", "cubes"):
+        deltas = td._ALGOS[algo]["deltas"]
+        pt_b = np.asarray(td._points_active(in3, deltas))
+        pw = np.asarray(td._points_active_words(w, deltas))
+        assert np.array_equal(((pw[..., None] >> sh) & 1).astype(bool)
+                              .reshape(32, 32, 32), pt_b)
+
+    case_b = np.asarray(td._case_lattice(in3))
+    case_w = np.asarray(td._case_lattice_words(w))
+    assert np.array_equal(case_b, case_w)
+
+    # interleave == _pack_pair on the flat bool lattices
+    deltas = td._ALGOS["cubes"]["deltas"]
+    pair_ref = np.asarray(td._pack_pair(
+        jnp.asarray(act_b.reshape(-1)),
+        jnp.asarray(td._points_active(in3, deltas)).reshape(-1)))
+    pair_w = np.asarray(td._interleave_pair_words(
+        td._cells_active_words(w), td._points_active_words(w, deltas)))
+    assert np.array_equal(pair_ref, pair_w)
+
+
+def test_word_domain_count_cells_matches():
+    """_count_cells word path == bool path on a cube lattice (the bool
+    path is forced through a non-32-divisible reshape-equivalent by
+    calling the stencils directly)."""
+    import jax.numpy as jnp
+    from surs_tpu.recon import tetra_device as td
+
+    rng = np.random.default_rng(3)
+    vol = rng.normal(0.5, 0.5, (32, 32, 32)).astype(np.float32)
+    for algo in ("tets", "cubes"):
+        nc, npt = map(int, td._count_cells(
+            jnp.asarray(vol.reshape(-1)), 0.5, (32, 32, 32), algo))
+        in3 = jnp.asarray(vol) > 0.5
+        nc_ref = int(np.asarray(td._cells_active(in3)).sum())
+        np_ref = int(np.asarray(
+            td._points_active(in3, td._ALGOS[algo]["deltas"])).sum())
+        assert (nc, npt) == (nc_ref, np_ref)
