@@ -242,6 +242,67 @@ def _group_compact_packed(words, blk_compact, g0, nb, L: int,
     return compact, na_g
 
 
+_1D_GROUP_WORDS = 2048   # dirty words expanded per group (1-D path)
+_1D_MIN_FLAGS = 1 << 15  # below this the direct cumsum+scatter wins
+
+
+def _compact_flags_1d(flags: jnp.ndarray, n_out: int):
+    """(compact, n) of set flags in a 1-D bool array.
+
+    Small arrays take the direct cumsum+scatter. Large ones (the runs
+    octree's window-block summary is 262k flags at 512^3; scatter
+    attempts cost ~9 ns each) pack to int32 words, compact the DIRTY
+    WORD ids (N/32 elements), then expand dirty words in groups — the
+    same two-level discipline as the 3-D lattice compactions, in 1-D.
+    Output order is ascending (identical to the direct path); entries
+    past the count are zero. ``n_out`` must be >= N + _1D_GROUP_WORDS*32
+    slack for the grouped path (callers pass N + their group length).
+    """
+    N = flags.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    if N % 32 != 0 or N <= _1D_MIN_FLAGS:
+        n = jnp.sum(flags.astype(jnp.int32))
+        pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        target = jnp.where(flags, pos, n_out)
+        return (jnp.zeros((n_out,), jnp.int32).at[target].set(
+            idx, mode="drop"), n)
+    words = _pack_bits(flags)
+    Nw = N // 32
+    wflags = words != 0
+    nw = jnp.sum(wflags.astype(jnp.int32))
+    wpos = jnp.cumsum(wflags.astype(jnp.int32)) - 1
+    wcomp = jnp.zeros((Nw + _1D_GROUP_WORDS,), jnp.int32).at[
+        jnp.where(wflags, wpos, Nw + _1D_GROUP_WORDS)].set(
+        jnp.arange(Nw, dtype=jnp.int32), mode="drop")
+    G = _1D_GROUP_WORDS
+    S = G * 32
+    sh = jnp.arange(32, dtype=jnp.int32)
+    # slack past n_out so the append offset (<= N <= n_out) never needs
+    # clamping — a clamped dynamic_update_slice would overwrite earlier
+    # entries instead of dropping like the scatter path
+    out0 = jnp.zeros((n_out + S,), jnp.int32)
+
+    def body(carry):
+        out, n, g = carry
+        m = g * G + jnp.arange(G, dtype=jnp.int32)
+        wi = wcomp[m]
+        w = words[wi]
+        f = ((((w[:, None] >> sh[None, :]) & 1) == 1)
+             & (m < nw)[:, None]).reshape(-1)
+        ids = (wi[:, None] * 32 + sh[None, :]).reshape(-1)
+        n_g = jnp.sum(f.astype(jnp.int32))
+        pos = jnp.cumsum(f.astype(jnp.int32)) - 1
+        comp = jnp.zeros((S,), jnp.int32).at[
+            jnp.where(f, pos, S)].set(ids, mode="drop")
+        out = lax.dynamic_update_slice(
+            out, comp, (jnp.minimum(n, out.shape[0] - S),))
+        return out, n + n_g, g + 1
+
+    out, n, _ = lax.while_loop(lambda c: c[2] * G < nw, body,
+                               (out0, jnp.int32(0), jnp.int32(0)))
+    return out[:n_out], n
+
+
 def _full_compact(lat_flat, L3: int, out_len: int):
     """Whole-lattice compaction into an out_len buffer (small lattices)."""
     na = jnp.sum(lat_flat.astype(jnp.int32))

@@ -209,3 +209,27 @@ def test_win_group_compact_packed_matches_unpacked():
         assert int(n_u) == int(n_p)
         np.testing.assert_array_equal(
             np.asarray(c_u)[:int(n_u)], np.asarray(c_p)[:int(n_p)])
+
+
+def test_compact_flags_1d_packed_matches_direct(monkeypatch):
+    """The 1-D two-level packed compaction (used by the window-block
+    summary above 32k blocks) must match the direct cumsum+scatter:
+    same ids, same ascending order, zeros past the count."""
+    import numpy as np
+    import jax.numpy as jnp
+    from surs_tpu.recon import evaluator as ev
+
+    rng = np.random.default_rng(11)
+    for n, dens in ((4096, 0.02), (4096, 0.6), (4096, 0.0), (4000, 0.1)):
+        flags = rng.random(n) < dens
+        n_out = n + 64
+        direct, nd = ev._compact_flags_1d(jnp.asarray(flags), n_out)
+        # force the packed path by shrinking the threshold + group
+        monkeypatch.setattr(ev, "_1D_MIN_FLAGS", 64)
+        monkeypatch.setattr(ev, "_1D_GROUP_WORDS", 4)
+        packed, npk = ev._compact_flags_1d(jnp.asarray(flags), n_out)
+        monkeypatch.undo()
+        assert int(nd) == int(npk) == int(flags.sum())
+        # exact buffer equality: same ids in ascending order, zeros past
+        # the count on both paths
+        assert np.array_equal(np.asarray(direct), np.asarray(packed))
