@@ -1,7 +1,9 @@
 from .mesh import (DATA_AXIS, POINT_AXIS, make_mesh, batch_sharding,
                    replicated, point_sharding, shard_batch, replicate_tree)
+from .sharded_mc import extract_isosurface_sharded
 
 __all__ = [
     "DATA_AXIS", "POINT_AXIS", "make_mesh", "batch_sharding", "replicated",
     "point_sharding", "shard_batch", "replicate_tree",
+    "extract_isosurface_sharded",
 ]

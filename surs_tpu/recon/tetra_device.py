@@ -58,7 +58,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from .tetra import _CORNER_OFFSETS, _TETS, _TET_EDGES, _CASE_TRIS
-from .evaluator import _block_summary, _group_compact, _compact_block_ids
+from .evaluator import (_block_summary, _group_compact,
+                        _compact_block_ids, _compact_flags_1d)
 
 # Adaptive compaction group: small enough that a lightly-dirty lattice
 # (a human surface marks ~10-60k 4^3 blocks) compacts in a few cheap
@@ -384,41 +385,48 @@ def _pack_pair(a_flat: jnp.ndarray, p_flat: jnp.ndarray) -> jnp.ndarray:
                    dtype=jnp.int32)
 
 
-def _block_summary_pair_packed(words: jnp.ndarray, L: int,
+def _block_summary_pair_packed(words: jnp.ndarray, dims: Tuple[int, ...],
                                group_blocks: int):
     """`_block_summary` of the UNION lattice, reading the packed word
     lattice from `_pack_pair` (block edge fixed at 4: each word holds
-    four 4-entry k-runs, one byte each). Dirty-block ids are compacted
-    by the evaluator's `_compact_block_ids` (3-level above 2^18
-    blocks: the 2M-attempt block scatter at 512^3 goes away)."""
-    Lb = L // 4
-    w3 = words.reshape(L, L, L // 16)
+    four 4-entry k-runs, one byte each). Cube lattices compact dirty
+    -block ids with the evaluator's `_compact_block_ids` (3-level above
+    2^18 blocks: the 2M-attempt block scatter at 512^3 goes away);
+    rectangular lattices (the sharded extractor's slabs) use the 1-D
+    packed two-level compaction."""
+    X, Y, Z = dims
+    w3 = words.reshape(X, Y, Z // 16)
     jj = (jnp.arange(4, dtype=jnp.int32) * 8)[None, None, None, :]
-    run_any = ((w3[:, :, :, None] >> jj) & 0xFF) != 0   # [L, L, L/16, 4]
-    blk = (run_any.reshape(Lb, 4, Lb, 4, Lb)).any(axis=(1, 3))
-    return _compact_block_ids(blk.reshape(-1), Lb, group_blocks)
+    run_any = ((w3[:, :, :, None] >> jj) & 0xFF) != 0   # [X, Y, Z/16, 4]
+    blk = (run_any.reshape(X // 4, 4, Y // 4, 4, Z // 4)).any(axis=(1, 3))
+    if X == Y == Z:
+        return _compact_block_ids(blk.reshape(-1), X // 4, group_blocks)
+    nb3 = (X // 4) * (Y // 4) * (Z // 4)
+    return _compact_flags_1d(blk.reshape(-1), nb3 + group_blocks)
 
 
-def _group_compact2_packed(words, blk_compact, g0, nb, L: int,
+def _group_compact2_packed(words, blk_compact, g0, nb, dims,
                            group_blocks: int, out_len: int):
     """`_group_compact2` reading the packed pair lattice: per block,
     16 word gathers (one per (i, j) row, covering both lattices' four
     k-flags) instead of 128 per-point bool gathers — the compaction is
     gather-DESCRIPTOR-bound, so this is the 8x lever. A 4-aligned
-    k-run never straddles a 16-entry word (L % 4 == 0), so each row is
+    k-run never straddles a 16-entry word (Z % 4 == 0), so each row is
     one word. Output order matches `_group_compact2` exactly (row-major
     (ti, tj, tk) within block, blocks in summary order)."""
-    Lb = L // 4
+    X, Y, Z = dims
+    Lby = Y // 4
+    Lbz = Z // 4
     m = g0 + jnp.arange(group_blocks, dtype=jnp.int32)
     valid_m = m < nb
     b = blk_compact[m]
-    bk = b % Lb
-    bj = (b // Lb) % Lb
-    bi = b // (Lb * Lb)
+    bk = b % Lbz
+    bj = (b // Lbz) % Lby
+    bi = b // (Lbz * Lby)
     r = jnp.arange(16, dtype=jnp.int32)
     li = bi[:, None] * 4 + (r // 4)[None, :]          # [Mg, 16]
     lj = bj[:, None] * 4 + (r % 4)[None, :]
-    rowbase = (li * L + lj) * L + (bk * 4)[:, None]   # [Mg, 16]
+    rowbase = (li * Y + lj) * Z + (bk * 4)[:, None]   # [Mg, 16]
     w = words[rowbase >> 4]                           # the gather
     byte = (w >> ((rowbase & 15) * 2)) & 0xFF         # 4 entries x 2 b
     jj = jnp.arange(4, dtype=jnp.int32)[None, None, :]
@@ -471,23 +479,25 @@ def _group_compact2(a_flat, p_flat, blk_compact, g0, nb, L: int,
     return tuple(out)
 
 
-def _compact_pair_from_words(words, L: int, cap_a: int, cap_p: int):
+def _compact_pair_from_words(words, dims: Tuple[int, ...], cap_a: int,
+                             cap_p: int):
     """The packed-pair compaction core: active cells (bit 0) and
     crossing points (bit 1) of a `_pack_pair`-layout word lattice over
     ONE shared dirty-block structure. Returns ((compact_a, n_a),
     (compact_p, n_p)); buffers are [cap + group] long with garbage past
     the count (consumers mask by count; overflow triggers the caller's
-    recount-and-rerun)."""
+    recount-and-rerun). Supports rectangular dims (the sharded
+    extractor's slabs) — every edge must be a multiple of 4, Z of 16."""
     G = _MC_GROUP_BLOCKS
     S = G * 64
-    blk_compact, nb = _block_summary_pair_packed(words, L, G)
+    blk_compact, nb = _block_summary_pair_packed(words, dims, G)
     outa0 = jnp.zeros((cap_a + S,), jnp.int32)
     outp0 = jnp.zeros((cap_p + S,), jnp.int32)
 
     def body(carry):
         outa, na, outp, npt, g = carry
         ca, na_g, cp, np_g = _group_compact2_packed(
-            words, blk_compact, g * G, nb, L, G, S)
+            words, blk_compact, g * G, nb, dims, G, S)
         outa = lax.dynamic_update_slice(outa, ca[:S],
                                         (jnp.minimum(na, cap_a),))
         outp = lax.dynamic_update_slice(outp, cp[:S],
@@ -514,7 +524,7 @@ def _compact_capped_pair(act_flat, pt_flat, cap_a: int, cap_p: int):
                 _compact_capped(pt_flat, cap_p))
     if L % 16 == 0 and n_flat % 16 == 0:
         return _compact_pair_from_words(_pack_pair(act_flat, pt_flat),
-                                        L, cap_a, cap_p)
+                                        (L, L, L), cap_a, cap_p)
     G = _MC_GROUP_BLOCKS
     S = G * 64
     blk_compact, nb = _block_summary(act_flat | pt_flat, L, 4, G)
@@ -618,7 +628,16 @@ def _emit_cells(vol_flat, cell_gids, cell_valid, rankp_lat, level,
     "cell_chunk", "algo"))
 def _march_core(vol_flat, level, dims, max_cells: int, max_pts: int,
                 max_tris: int, max_verts: int, cell_chunk: int,
-                algo: str = "tets"):
+                algo: str = "tets", x_act_limit=None, x_pt_limit=None,
+                x_edge_limit=None):
+    """``x_act_limit``/``x_pt_limit`` (optional traced scalars): zero
+    the active-cell / crossing-point stencils at x planes >= the limit
+    — the slab-ownership masks of the sharded extractor
+    (parallel/sharded_mc.py). ``x_edge_limit``: max base plane (excl.)
+    for dx-carrying edges in the weld finalize — the last slab's
+    duplicated halo would otherwise register phantom diagonal-edge
+    crossings (mixed deltas shift in y/z, so duplicate-plane values DO
+    differ). None = single-device defaults."""
     X, Y, Z = dims
     XYZ = X * Y * Z
     level = jnp.float32(level)
@@ -626,25 +645,34 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_pts: int,
     spec = _ALGOS[algo]
     n_slots = spec["n_slots"]
     deltas = spec["deltas"]
+    xi = jnp.arange(X, dtype=jnp.int32)[:, None, None]
 
     # Stencil phase: in the word domain when the lattice allows it (one
     # fused pass packs the inside mask along z; stencils, the pair
     # layout and the case lattice all read 32x fewer bytes and no bool
     # lattice is ever materialized), else the bool-lattice path.
-    words_path = X == Y == Z and Z % 32 == 0
+    words_path = X % 4 == 0 and Y % 4 == 0 and Z % 32 == 0
     if words_path:
         wlat = _pack_inside_z(vol3, level)
-        pair_words = _interleave_pair_words(_cells_active_words(wlat),
-                                            _points_active_words(wlat,
-                                                                 deltas))
+        aw = _cells_active_words(wlat)
+        pw = _points_active_words(wlat, deltas)
+        if x_act_limit is not None:
+            aw = jnp.where(xi < x_act_limit, aw, 0)
+        if x_pt_limit is not None:
+            pw = jnp.where(xi < x_pt_limit, pw, 0)
+        pair_words = _interleave_pair_words(aw, pw)
         (compact, n_cells), (compact_p, n_pts) = _compact_pair_from_words(
-            pair_words, X, max_cells, max_pts)
+            pair_words, (X, Y, Z), max_cells, max_pts)
     else:
         in3 = vol3 > level      # ONE f32 pass; both stencils read bools
-        act_lat = _cells_active(in3).reshape(-1)
-        pt_lat = _points_active(in3, deltas).reshape(-1)
+        act3 = _cells_active(in3)
+        pt3 = _points_active(in3, deltas)
+        if x_act_limit is not None:
+            act3 = act3 & (xi < x_act_limit)
+        if x_pt_limit is not None:
+            pt3 = pt3 & (xi < x_pt_limit)
         (compact, n_cells), (compact_p, n_pts) = _compact_capped_pair(
-            act_lat, pt_lat, max_cells, max_pts)
+            act3.reshape(-1), pt3.reshape(-1), max_cells, max_pts)
 
     # point-rank lattice: rankp_lat[crossing-point gid] = compact rank;
     # with free upper bits (every production max_pts) the dense 8-bit
@@ -705,11 +733,12 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_pts: int,
     in0p = v0p > level
     pok = mp_ < jnp.minimum(n_pts, max_pts)
     pres_parts, tq_parts = [], []
+    xeb = X - 1 if x_edge_limit is None else x_edge_limit
     for dx, dy, dz in deltas:
         step = (dx * Y + dy) * Z + dz
         inb = pok
         if dx:
-            inb = inb & (px < X - 1)
+            inb = inb & (px < xeb)
         if dy:
             inb = inb & (py < Y - 1)
         if dz:
@@ -768,17 +797,28 @@ _LAST_CELL_BUCKET: Dict = {}
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "algo"))
-def _count_cells(vol_flat, level, dims, algo: str = "tets"):
+def _count_cells(vol_flat, level, dims, algo: str = "tets",
+                 x_act_limit=None, x_pt_limit=None):
     X, Y, Z = dims
     deltas = _ALGOS[algo]["deltas"]
-    if X == Y == Z and Z % 32 == 0:
+    xi = jnp.arange(X, dtype=jnp.int32)[:, None, None]
+    if Z % 32 == 0:
         w = _pack_inside_z(vol_flat.reshape(X, Y, Z), jnp.float32(level))
-        return (jnp.sum(lax.population_count(_cells_active_words(w))),
-                jnp.sum(lax.population_count(_points_active_words(w,
-                                                                  deltas))))
+        aw = _cells_active_words(w)
+        pw = _points_active_words(w, deltas)
+        if x_act_limit is not None:
+            aw = jnp.where(xi < x_act_limit, aw, 0)
+        if x_pt_limit is not None:
+            pw = jnp.where(xi < x_pt_limit, pw, 0)
+        return (jnp.sum(lax.population_count(aw)),
+                jnp.sum(lax.population_count(pw)))
     in3 = vol_flat.reshape(X, Y, Z) > jnp.float32(level)
     act = _cells_active(in3)
     pts = _points_active(in3, deltas)
+    if x_act_limit is not None:
+        act = act & (xi < x_act_limit)
+    if x_pt_limit is not None:
+        pts = pts & (xi < x_pt_limit)
     return (jnp.sum(act.astype(jnp.int32)),
             jnp.sum(pts.astype(jnp.int32)))
 

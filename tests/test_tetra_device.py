@@ -257,7 +257,7 @@ def test_packed_pair_compaction_matches_unpacked():
 
     blk_u, nb_u = _block_summary(a | p, L, 4, G)
     words = td._pack_pair(a, p)
-    blk_p, nb_p = td._block_summary_pair_packed(words, L, G)
+    blk_p, nb_p = td._block_summary_pair_packed(words, (L, L, L), G)
     assert int(nb_u) == int(nb_p)
     np.testing.assert_array_equal(np.asarray(blk_u), np.asarray(blk_p))
 
@@ -265,7 +265,7 @@ def test_packed_pair_compaction_matches_unpacked():
         ca_u, na_u, cp_u, np_u = td._group_compact2(
             a, p, blk_u, jnp.int32(g0), nb_u, L, 4, G, S)
         ca_p, na_p, cp_p, np_p = td._group_compact2_packed(
-            words, blk_p, jnp.int32(g0), nb_p, L, G, S)
+            words, blk_p, jnp.int32(g0), nb_p, (L, L, L), G, S)
         assert int(na_u) == int(na_p) and int(np_u) == int(np_p)
         np.testing.assert_array_equal(
             np.asarray(ca_u)[:int(na_u)], np.asarray(ca_p)[:int(na_p)])
