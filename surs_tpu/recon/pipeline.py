@@ -268,6 +268,18 @@ class Reconstructor:
             verts = verts @ mat[:3, :3].T + mat[:3, 3]
             return verts.astype(np.float32), faces
 
+        if mc_backend == "sharded":
+            # multi-chip: one x-slab per device of the caller's mesh
+            # (mc_caps carries mesh=/axis=/algorithm=), halo over ICI,
+            # host merge by canonical global edge id — same welded mesh
+            # as the single-device backend (parallel/sharded_mc.py)
+            from ..parallel.sharded_mc import extract_isosurface_sharded
+            kw = dict(mc_caps or {})
+            kw.pop("max_cells", None)
+            yield to_world(*extract_isosurface_sharded(sdf_hr, level, **kw))
+            yield to_world(*extract_isosurface_sharded(sdf_lr, level, **kw))
+            return
+
         if mc_backend in ("device", "auto"):
             from .tetra_device import marching_tetrahedra_device_begin
             try:

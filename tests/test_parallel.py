@@ -195,3 +195,28 @@ def test_sharded_extraction_empty_field():
     vs, fs = extract_isosurface_sharded(vol, 0.5, mesh=mesh,
                                         axis="points")
     assert vs.shape[0] == 0 and fs.shape[0] == 0
+
+
+def test_extract_pair_sharded_backend_matches_host():
+    """Reconstructor.extract_pair(mc_backend='sharded') == host
+    extraction, world coordinates included."""
+    from surs_tpu.parallel import make_mesh
+    from surs_tpu.recon.pipeline import Reconstructor
+    from surs_tpu.recon.marching import extract_isosurface
+
+    mesh = make_mesh(n_data=1, n_points=8)
+    mat = np.diag([2.0 / 31, 2.0 / 31, 2.0 / 31, 1.0]).astype(np.float32)
+    mat[:3, 3] = -1.0
+    sdf_hr = _sphere_vol(32, (15.3, 16.2, 14.9), 11.5)
+    sdf_lr = _sphere_vol(32, (16.0, 15.5, 16.5), 9.0)
+    got = list(Reconstructor.extract_pair(
+        sdf_hr, sdf_lr, mat, mc_backend="sharded",
+        mc_caps={"mesh": mesh, "axis": "points", "algorithm": "tets",
+                 "cell_chunk": 1 << 10}))
+    for (vs, fs), vol in zip(got, (sdf_hr, sdf_lr)):
+        vh, fh = extract_isosurface(vol, 0.5)
+        vh = (vh @ mat[:3, :3].T + mat[:3, 3]).astype(np.float32)
+        assert fs.shape == fh.shape and vs.shape == vh.shape
+        faces_s, verts_s = _canon_mesh(vs, fs)
+        faces_h, verts_h = _canon_mesh(vh, fh)
+        assert verts_s == verts_h and faces_s == faces_h
