@@ -386,3 +386,28 @@ def test_word_domain_count_cells_matches():
         np_ref = int(np.asarray(
             td._points_active(in3, td._ALGOS[algo]["deltas"])).sum())
         assert (nc, npt) == (nc_ref, np_ref)
+
+
+def test_rect_pair_compaction_matches_flat(monkeypatch):
+    """The rectangular-lattice packed pair compaction (sharded slabs)
+    must produce exactly the set of flagged cells/points, across
+    several compaction groups (shrunken group constant)."""
+    import jax.numpy as jnp
+    from surs_tpu.recon import tetra_device as td
+
+    monkeypatch.setattr(td, "_MC_GROUP_BLOCKS", 4)  # 4 blocks/group
+    rng = np.random.default_rng(9)
+    X, Y, Z = 12, 8, 32          # X%4, Y%4, Z%32 — slab-shaped
+    n = X * Y * Z
+    a = jnp.asarray(rng.random(n) < 0.15)
+    p = jnp.asarray(rng.random(n) < 0.2)
+    words = td._pack_pair(a, p)
+    na_ref = int(np.asarray(a).sum())
+    np_ref = int(np.asarray(p).sum())
+    (ca, na), (cp, npt) = td._compact_pair_from_words(
+        words, (X, Y, Z), na_ref + 16, np_ref + 16)
+    assert int(na) == na_ref and int(npt) == np_ref
+    assert sorted(np.asarray(ca)[:na_ref].tolist()) \
+        == np.flatnonzero(np.asarray(a)).tolist()
+    assert sorted(np.asarray(cp)[:np_ref].tolist()) \
+        == np.flatnonzero(np.asarray(p)).tolist()
