@@ -25,11 +25,17 @@ Ownership discipline (what makes the union exact):
     stencil masks, and the LAST shard replaces its (circularly
     received, meaningless) halo with copies of its own last plane so
     no phantom crossings can form against it.
+
+Compile discipline (remote backends pay 3-12 min per program): the
+count and core programs are cached module-wide keyed on every static
+(mesh devices, slab shape, algorithm, capacities, chunk), the level is
+a traced argument, and capacities are BUCKETED to 2^15 quanta so nearby
+surfaces of the same subject family reuse one compiled core.
 """
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 import jax
@@ -38,10 +44,14 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..recon.tetra_device import _march_core, _count_cells, _ALGOS
+from ..recon.tetra_device import (_march_core, _count_cells, _ALGOS,
+                                  _bucket, unpack_wire_faces,
+                                  replay_wire_vertices)
 
 HALO = 4
 MC_AXIS = "mc"
+
+_PROGRAMS: Dict = {}   # static-key -> compiled count/core program
 
 
 def _slab_mesh(mesh: Optional[Mesh], axis: Optional[str]
@@ -50,6 +60,79 @@ def _slab_mesh(mesh: Optional[Mesh], axis: Optional[str]
         return mesh, (axis or mesh.axis_names[-1])
     devs = jax.devices()
     return Mesh(np.asarray(devs), (MC_AXIS,)), MC_AXIS
+
+
+def _mesh_key(mesh: Mesh, axis: str):
+    return (tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
+            axis)
+
+
+def _slab_with_masks(vol_local, axis: str, n: int, Xs: int, Y: int,
+                     Z: int):
+    """[Xs, Y, Z] local slab -> ([Xs+HALO, Y, Z], x_act, x_pt, x_edge)."""
+    idx = lax.axis_index(axis)
+    is_last = idx == n - 1
+    perm = [(i, (i - 1) % n) for i in range(n)]
+    halo = lax.ppermute(vol_local[:HALO], axis, perm)
+    own = jnp.broadcast_to(vol_local[-1:], (HALO, Y, Z))
+    halo = jnp.where(is_last, own, halo)
+    slab = jnp.concatenate([vol_local, halo], axis=0)
+    # interior shards own cells with base < Xs and points with x <= Xs
+    # (the first halo plane: the +x neighbor detects the same points —
+    # dedup'd by key); the last shard owns one plane fewer of each (its
+    # halo is a duplicate plane, masked off)
+    x_act = jnp.where(is_last, Xs - 1, Xs)
+    x_pt = jnp.where(is_last, Xs, Xs + 1)
+    # dx-carrying weld edges are real up to the slab end for interior
+    # shards (their halo is the true neighbor volume) but stop at the
+    # global max plane for the last shard — its duplicated halo would
+    # register phantom DIAGONAL crossings (duplicate-plane values DO
+    # differ once the delta shifts in y/z)
+    x_edge = jnp.where(is_last, Xs - 1, Xs + HALO - 1)
+    return slab, x_act, x_pt, x_edge
+
+
+def _count_program(mesh: Mesh, axis: str, n: int, Xs: int, Y: int,
+                   Z: int, algorithm: str):
+    key = ("count", _mesh_key(mesh, axis), Xs, Y, Z, algorithm)
+    if key not in _PROGRAMS:
+        in_spec = P(axis, None, None)
+
+        def f(vol_local, lvl):
+            slab, x_act, x_pt, _ = _slab_with_masks(vol_local, axis, n,
+                                                    Xs, Y, Z)
+            nc, npt = _count_cells(slab.reshape(-1), lvl,
+                                   (Xs + HALO, Y, Z), algorithm,
+                                   x_act_limit=x_act, x_pt_limit=x_pt)
+            return nc.reshape(1), npt.reshape(1)
+
+        _PROGRAMS[key] = jax.jit(shard_map(
+            f, mesh=mesh, in_specs=(in_spec, P()),
+            out_specs=(P(axis), P(axis)), check_rep=False))
+    return _PROGRAMS[key]
+
+
+def _core_program(mesh: Mesh, axis: str, n: int, Xs: int, Y: int,
+                  Z: int, algorithm: str, mc: int, mp: int, mt: int,
+                  mv: int, cell_chunk: int):
+    key = ("core", _mesh_key(mesh, axis), Xs, Y, Z, algorithm,
+           mc, mp, mt, mv, cell_chunk)
+    if key not in _PROGRAMS:
+        in_spec = P(axis, None, None)
+
+        def f(vol_local, lvl):
+            slab, x_act, x_pt, x_edge = _slab_with_masks(
+                vol_local, axis, n, Xs, Y, Z)
+            out = _march_core(slab.reshape(-1), lvl, (Xs + HALO, Y, Z),
+                              mc, mp, mt, mv, cell_chunk, algorithm,
+                              x_act_limit=x_act, x_pt_limit=x_pt,
+                              x_edge_limit=x_edge)
+            return tuple(o.reshape((1,) + o.shape) for o in out)
+
+        _PROGRAMS[key] = jax.jit(shard_map(
+            f, mesh=mesh, in_specs=(in_spec, P()),
+            out_specs=tuple([P(axis)] * 10), check_rep=False))
+    return _PROGRAMS[key]
 
 
 def extract_isosurface_sharded(volume, level: float = 0.5,
@@ -67,7 +150,8 @@ def extract_isosurface_sharded(volume, level: float = 0.5,
 
     Requires X % n == 0, (X/n) % 4 == 0, X/n >= 4, Y % 4 == 0 and
     Z % 32 == 0 (the packed word stencil/compaction constraints at slab
-    shape). Capacities are sized from a per-shard counting pass.
+    shape). Capacities are sized (bucketed) from a per-shard counting
+    pass.
     """
     mesh, axis = _slab_mesh(mesh, axis)
     n = mesh.shape[axis]
@@ -80,79 +164,37 @@ def extract_isosurface_sharded(volume, level: float = 0.5,
     Xs = X // n
     spec = _ALGOS[algorithm]
     n_slots = spec["n_slots"]
-    deltas = spec["deltas"]
-    perm = [(i, (i - 1) % n) for i in range(n)]
-    in_spec = P(*[axis if d == 0 else None for d in range(3)])
     lvl = jnp.float32(level)
 
-    def slab_with_masks(vol_local):
-        """[Xs, Y, Z] local slab -> ([Xs+HALO, Y, Z], x_act, x_pt)."""
-        idx = lax.axis_index(axis)
-        is_last = idx == n - 1
-        halo = lax.ppermute(vol_local[:HALO], axis, perm)
-        own = jnp.broadcast_to(vol_local[-1:], (HALO, Y, Z))
-        halo = jnp.where(is_last, own, halo)
-        slab = jnp.concatenate([vol_local, halo], axis=0)
-        # interior shards own cells with base < Xs and points with
-        # x <= Xs (the first halo plane: the +x neighbor detects the
-        # same points — dedup'd by key); the last shard owns one plane
-        # fewer of each (its halo is a duplicate plane, masked off)
-        x_act = jnp.where(is_last, Xs - 1, Xs)
-        x_pt = jnp.where(is_last, Xs, Xs + 1)
-        # dx-carrying weld edges are real up to the slab end for
-        # interior shards (their halo is the true neighbor volume) but
-        # stop at the global max plane for the last shard — its
-        # duplicated halo would register phantom DIAGONAL crossings
-        # (duplicate-plane values differ once the delta shifts in y/z)
-        x_edge = jnp.where(is_last, Xs - 1, Xs + HALO - 1)
-        return slab, x_act, x_pt, x_edge
-
-    @jax.jit
-    def count(vol):
-        def f(vol_local):
-            slab, x_act, x_pt, _ = slab_with_masks(vol_local)
-            nc, npt = _count_cells(slab.reshape(-1), lvl,
-                                   (Xs + HALO, Y, Z), algorithm,
-                                   x_act_limit=x_act, x_pt_limit=x_pt)
-            return nc.reshape(1), npt.reshape(1)
-        return shard_map(f, mesh=mesh, in_specs=in_spec,
-                         out_specs=(P(axis), P(axis)),
-                         check_rep=False)(vol)
-
-    ncs, npts = jax.device_get(count(vol))
-    mc = int(max(1, ncs.max()))
-    mp = int(max(1, npts.max()))
-    if mc > max_cells_shard:
-        raise ValueError(f"sharded extraction: {mc} active cells in one "
+    ncs, npts = jax.device_get(
+        _count_program(mesh, axis, n, Xs, Y, Z, algorithm)(vol, lvl))
+    nc = int(max(1, ncs.max()))
+    npt = int(max(1, npts.max()))
+    if nc > max_cells_shard:
+        raise ValueError(f"sharded extraction: {nc} active cells in one "
                          f"slab > max_cells_shard {max_cells_shard}")
-    if n_slots * mp > (1 << 21):
+    if n_slots * npt > (1 << 21):
         raise ValueError("packed faces hold 21-bit vertex indices: "
                          "per-shard crossing points exceed the format")
-    mt = min(spec["tris_per_cell"] * mc,
-             max_tris_shard or spec["tris_per_cell"] * mc)
+    # bucketed capacities: nearby surfaces reuse one compiled core
+    mc = min(max_cells_shard, _bucket(nc, 1 << 15))
+    mp = max(npt, min((1 << 21) // n_slots, _bucket(npt, 1 << 15)))
+    mt = spec["tris_per_cell"] * mc
+    if max_tris_shard is not None:
+        mt = min(mt, max_tris_shard)
     mv = n_slots * mp
 
-    def core(vol):
-        def f(vol_local):
-            slab, x_act, x_pt, x_edge = slab_with_masks(vol_local)
-            out = _march_core(slab.reshape(-1), lvl, (Xs + HALO, Y, Z),
-                              mc, mp, mt, mv, cell_chunk, algorithm,
-                              x_act_limit=x_act, x_pt_limit=x_pt,
-                              x_edge_limit=x_edge)
-            return tuple(o.reshape((1,) + o.shape) for o in out)
-        outs = shard_map(f, mesh=mesh, in_specs=in_spec,
-                         out_specs=tuple([P(axis)] * 10),
-                         check_rep=False)(vol)
-        return outs
-
-    outs = jax.device_get(core(vol))
+    outs = jax.device_get(
+        _core_program(mesh, axis, n, Xs, Y, Z, algorithm, mc, mp, mt,
+                      mv, cell_chunk)(vol, lvl))
     (vid_of, t_of, w0, w1, compact_p,
      n_verts, n_faces, n_cells, n_tris, n_pts) = outs
     if (n_cells > mc).any() or (n_pts > mp).any() \
             or (n_tris > mt).any() or (n_verts > mv).any():
-        raise ValueError("sharded extraction capacity overflow "
-                         f"(cells {n_cells.max()}/{mc}, pts "
-                         f"{n_pts.max()}/{mp}, tris {n_tris.max()}/{mt})")
+        raise ValueError(
+            "sharded extraction capacity overflow (cells "
+            f"{n_cells.max()}/{mc}, pts {n_pts.max()}/{mp}, tris "
+            f"{n_tris.max()}/{mt}, verts {n_verts.max()}/{mv})")
 
     # ---- host merge by canonical global edge id ----
     GXYZ = X * Y * Z
@@ -163,30 +205,18 @@ def extract_isosurface_sharded(volume, level: float = 0.5,
         nf = int(n_faces[s])
         vid = np.asarray(vid_of[s][:nv], np.int64)
         slot = vid // mp
-        rank = vid % mp
-        gid = np.asarray(compact_p[s], np.int64)[rank]   # slab-local
+        gid = np.asarray(compact_p[s], np.int64)[vid % mp]  # slab-local
         ggid = gid + s * Xs * Y * Z   # same (Y*Z, Z, 1) strides globally
         keys.append(slot * GXYZ + ggid)
         ts.append(np.asarray(t_of[s][:nv], np.float32))
-        w0h = np.asarray(w0[s][:nf]).view(np.uint32)
-        w1h = np.asarray(w1[s][:nf]).view(np.uint32)
-        f0 = (w0h & 0x1FFFFF).astype(np.int64)
-        f1 = ((w0h >> 21) | ((w1h & 0x3FF) << 11)).astype(np.int64)
-        f2 = ((w1h >> 10) & 0x1FFFFF).astype(np.int64)
-        faces.append(np.stack([f0, f1, f2], axis=1) + voff)
+        faces.append(unpack_wire_faces(
+            np.asarray(w0[s][:nf]).view(np.uint32),
+            np.asarray(w1[s][:nf]).view(np.uint32)) + voff)
         voff += nv
-    key_all = np.concatenate(keys) if keys else np.zeros(0, np.int64)
-    t_all = np.concatenate(ts) if ts else np.zeros(0, np.float32)
+    key_all = np.concatenate(keys)
+    t_all = np.concatenate(ts)
     uniq, first, inv = np.unique(key_all, return_index=True,
                                  return_inverse=True)
-    slot_u = uniq // GXYZ
-    gid_u = uniq % GXYZ
-    lo = np.stack([gid_u // (Y * Z), (gid_u // Z) % Y, gid_u % Z],
-                  axis=1).astype(np.float32)
-    # replay lo + t * delta in f32 — bit-identical to the single-device
-    # decode (recon/tetra_device.py finish())
-    verts = lo + t_all[first][:, None].astype(np.float32) \
-        * deltas[slot_u].astype(np.float32)
-    faces_all = (np.concatenate(faces, axis=0) if faces
-                 else np.zeros((0, 3), np.int64))
-    return verts, inv[faces_all]
+    verts = replay_wire_vertices(uniq % GXYZ, uniq // GXYZ,
+                                 t_all[first], spec["deltas"], Y, Z)
+    return verts, inv[np.concatenate(faces, axis=0)]

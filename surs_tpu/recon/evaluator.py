@@ -255,8 +255,9 @@ def _compact_flags_1d(flags: jnp.ndarray, n_out: int):
     WORD ids (N/32 elements), then expand dirty words in groups — the
     same two-level discipline as the 3-D lattice compactions, in 1-D.
     Output order is ascending (identical to the direct path); entries
-    past the count are zero. ``n_out`` must be >= N + _1D_GROUP_WORDS*32
-    slack for the grouped path (callers pass N + their group length).
+    past the count are zero. ``n_out`` only needs to cover the flag
+    count (callers pass N + a small consumer-side over-read margin);
+    the grouped path carries its append slack internally.
     """
     N = flags.shape[0]
     idx = jnp.arange(N, dtype=jnp.int32)

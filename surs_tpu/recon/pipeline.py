@@ -274,8 +274,13 @@ class Reconstructor:
             # host merge by canonical global edge id — same welded mesh
             # as the single-device backend (parallel/sharded_mc.py)
             from ..parallel.sharded_mc import extract_isosurface_sharded
-            kw = dict(mc_caps or {})
-            kw.pop("max_cells", None)
+            # keep only the sharded extractor's kwargs so one mc_caps
+            # dict can be shared across backends (device caps like
+            # max_cells/max_tris don't apply per-slab)
+            allowed = ("mesh", "axis", "algorithm", "cell_chunk",
+                       "max_cells_shard", "max_tris_shard")
+            kw = {k: v for k, v in (mc_caps or {}).items()
+                  if k in allowed}
             yield to_world(*extract_isosurface_sharded(sdf_hr, level, **kw))
             yield to_world(*extract_isosurface_sharded(sdf_lr, level, **kw))
             return

@@ -788,6 +788,29 @@ def _bucket(n: int, quantum: int = 1 << 16) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
 
 
+def unpack_wire_faces(w0h: np.ndarray, w1h: np.ndarray) -> np.ndarray:
+    """Host decode of the packed face wire format (3 x 21-bit vertex
+    indices in two uint32 words) -> [F, 3] int64. The single inverse of
+    `_march_core`'s packing, shared by the single-device finish() and
+    the sharded merge (parallel/sharded_mc.py)."""
+    f0 = (w0h & 0x1FFFFF).astype(np.int64)
+    f1 = ((w0h >> 21) | ((w1h & 0x3FF) << 11)).astype(np.int64)
+    f2 = ((w1h >> 10) & 0x1FFFFF).astype(np.int64)
+    return np.stack([f0, f1, f2], axis=1)
+
+
+def replay_wire_vertices(gid: np.ndarray, slot: np.ndarray,
+                         t: np.ndarray, deltas: np.ndarray,
+                         Y: int, Z: int) -> np.ndarray:
+    """Host decode of the vertex wire format: replay ``lo + t * delta``
+    in f32, bit-identical to the device interpolation formula. ``gid``
+    are flat lattice ids with (Y*Z, Z, 1) strides."""
+    lo = np.stack([gid // (Y * Z), (gid // Z) % Y, gid % Z],
+                  axis=1).astype(np.float32)
+    return lo + t[:, None].astype(np.float32) \
+        * deltas[slot].astype(np.float32)
+
+
 # last (cell, point, tris) buckets that fit a given volume shape: lets
 # repeat extractions skip the count program + its host sync and go
 # straight to the core (speculative; a miss falls back to recount +
@@ -956,20 +979,10 @@ def marching_tetrahedra_device_begin(volume, level: float = 0.5,
             w1h = np.asarray(jax.device_get(slices[3]))[:nf] \
                 .view(np.uint32)
             comp = np.asarray(jax.device_get(slices[4]))
-            # decode vertices: replay lo + t * delta in f32
-            # (bit-identical to the device formula)
             slot = vid // mp
-            rank = vid % mp
-            gid = comp[rank]
-            lo = np.stack([gid // (Y * Z), (gid // Z) % Y, gid % Z],
-                          1).astype(np.float32)
-            verts = lo + t[:, None].astype(np.float32) \
-                * deltas[slot].astype(np.float32)
-            f0 = (w0h & 0x1FFFFF).astype(np.int64)
-            f1 = ((w0h >> 21) | ((w1h & 0x3FF) << 11)).astype(np.int64)
-            f2 = ((w1h >> 10) & 0x1FFFFF).astype(np.int64)
-            faces = np.stack([f0, f1, f2], axis=1)
-            return verts, faces
+            verts = replay_wire_vertices(comp[vid % mp], slot, t,
+                                         deltas, Y, Z)
+            return verts, unpack_wire_faces(w0h, w1h)
 
         return finish
 
