@@ -62,6 +62,10 @@ cfg = SuRSConfig(dataroot=root, name="gmprof", loadSize=LOAD,
                  num_samples=262144 if ON_TPU else 4096,
                  octree_init_resolution=64 if ON_TPU else 16,
                  feature_dtype="bfloat16" if ON_TPU else "float32",
+                 # trunk dtype pinned f32 by default: the cached demo
+                 # state was trained with f32 trunks and cross-round
+                 # stage timings must isolate extractor changes
+                 dtype=os.environ.get("SURS_DTYPE", "float32"),
                  mask_prune=True, b_min=[-1.0]*3, b_max=[1.0]*3)
 model = surs_net_from_config(cfg)
 ds = TrainDataset(cfg, phase="train", yaw_list=[0])

@@ -127,6 +127,11 @@ cfg = SuRSConfig(dataroot=root, name="subject", loadSize=LOAD,
                  num_samples=262144 if ON_TPU else 4096,
                  octree_init_resolution=64 if ON_TPU else 16,
                  feature_dtype="bfloat16" if ON_TPU else "float32",
+                 # trunk dtype pinned f32 by default so the cached
+                 # trained state and the cross-round quality record stay
+                 # comparable; SURS_DTYPE=bfloat16 opts into mixed
+                 # precision
+                 dtype=os.environ.get("SURS_DTYPE", "float32"),
                  mask_prune=True,
                  b_min=[-1.0]*3, b_max=[1.0]*3)
 model = surs_net_from_config(cfg)

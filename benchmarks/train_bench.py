@@ -7,9 +7,11 @@ from surs_tpu.config import SuRSConfig
 from surs_tpu.models import surs_net_from_config
 from surs_tpu.train import make_optimizer, create_train_state, make_train_step
 
+DTYPE = sys.argv[1] if len(sys.argv) > 1 else "auto"  # auto|float32|bfloat16
 cfg = SuRSConfig(loadSize=512, residual=True, num_sample_inout=6000,
-                 batch_size=2, learning_rate=1e-3)
+                 batch_size=2, learning_rate=1e-3, dtype=DTYPE)
 model = surs_net_from_config(cfg)
+print("trunk dtype:", model.dtype, flush=True)
 opt = make_optimizer(cfg)
 rng = np.random.default_rng(0)
 B, N, S = cfg.batch_size, cfg.num_sample_inout, cfg.loadSize // 2
@@ -34,7 +36,28 @@ t0=time.time()
 K=10
 for _ in range(K):
     state, m = step(state, batch)
-jax.block_until_ready(m["total"])
+loss = float(m["total"])          # host fetch = the only reliable sync
 dt=(time.time()-t0)/K
-print(f"train step: {dt*1000:.0f} ms  ({1/dt:.2f} it/s, batch {B}, "
-      f"{N} pts, loadSize {cfg.loadSize}); loss={float(m['total']):.4f}", flush=True)
+print(f"train step (loop, evolving state): {dt*1000:.0f} ms  "
+      f"({1/dt:.2f} it/s, batch {B}, {N} pts, loadSize {cfg.loadSize}); "
+      f"loss={loss:.4f}", flush=True)
+
+# scan-chained steady state: 8 data-dependent steps inside ONE program,
+# ending in a loss fetch — immune to per-dispatch enqueue latency
+step_nojit = make_train_step(model, opt, donate=False, jit=False)
+
+@jax.jit
+def chain(state, batch):
+    def body(s, _):
+        s, m = step_nojit(s, batch)
+        return s, m["total"]
+    return jax.lax.scan(body, state, None, length=8)
+
+state, losses = chain(state, batch)
+float(losses[-1])                         # compile + warm
+t0=time.time()
+state, losses = chain(state, batch)
+l=float(losses[-1])
+dt=(time.time()-t0)/8
+print(f"train step (8-step scan chain): {dt*1000:.1f} ms/step; "
+      f"loss={l:.4f}", flush=True)

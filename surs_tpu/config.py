@@ -147,7 +147,12 @@ class SuRSConfig:
     # CLI/service entry (resolve_backend_defaults) so a stock run takes
     # the fast paths on TPU and the simple host paths on CPU. Explicit
     # values always win (the flags are opt-OUTs).
-    dtype: str = "float32"          # compute dtype for conv trunks
+    dtype: str = "auto"             # compute dtype for conv trunks
+                                    # (params + point MLPs stay f32);
+                                    # auto -> bfloat16 on TPU (MXU-rate
+                                    # convs; the sampled features are
+                                    # bf16-stored there anyway), float32
+                                    # on CPU
     feature_dtype: str = "auto"     # storage dtype of pixel-aligned
                                     # feature maps at inference; auto ->
                                     # bfloat16 on TPU (halves gather
@@ -207,10 +212,12 @@ _BOOL_FIELDS = {
 # mc_backend stays 'auto' — extract_pair's device-with-host-fallback
 # semantic (recon/pipeline.py) is the production-safe choice (noise-like
 # fields can overflow the device extractor's capacity).
-_AUTO_TPU = {"feature_dtype": "bfloat16", "octree_mode": "mono",
+_AUTO_TPU = {"dtype": "bfloat16",
+             "feature_dtype": "bfloat16", "octree_mode": "mono",
              "serve_octree_mode": "mono", "mc_backend": "auto",
              "mc_algorithm": "cubes"}
-_AUTO_CPU = {"feature_dtype": "float32", "octree_mode": "hostloop",
+_AUTO_CPU = {"dtype": "float32",
+             "feature_dtype": "float32", "octree_mode": "hostloop",
              "serve_octree_mode": "hostloop", "mc_backend": "host",
              "mc_algorithm": "tets"}
 

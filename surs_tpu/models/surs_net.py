@@ -63,6 +63,11 @@ class SuRSNet(nn.Module):
 
     def setup(self):
         import jax.numpy as _jnp
+        if self.dtype not in ("float32", "bfloat16"):
+            raise ValueError(
+                f"SuRSNet dtype must be resolved to float32/bfloat16 "
+                f"(got {self.dtype!r}; use surs_net_from_config or "
+                f"config.resolve_auto for 'auto')")
         dt = _jnp.bfloat16 if self.dtype == "bfloat16" else _jnp.float32
         self.super_resolution = SuRSSR(n_block=tuple(self.n_block),
                                        residual=self.residual,
@@ -197,7 +202,14 @@ class SuRSNet(nn.Module):
 
 
 def surs_net_from_config(cfg) -> SuRSNet:
-    """Build a SuRSNet from a :class:`surs_tpu.config.SuRSConfig`."""
+    """Build a SuRSNet from a :class:`surs_tpu.config.SuRSConfig`.
+
+    ``cfg.dtype == 'auto'`` resolves against the live backend here (bf16
+    conv trunks on TPU, f32 on CPU) so every entry point — train/eval
+    CLIs, serve, benchmarks — gets the backend-correct trunk dtype even
+    when it never calls resolve_backend_defaults.
+    """
+    from ..config import resolve_auto
     return SuRSNet(
         num_stack_lr=cfg.num_stack_lr, num_stack_hr=cfg.num_stack_hr,
         hg_depth=cfg.hg_depth, hg_dim=cfg.hg_dim, norm=cfg.norm,
@@ -208,4 +220,4 @@ def surs_net_from_config(cfg) -> SuRSNet:
         n_block=tuple(cfg.n_block), residual=cfg.residual, scale=cfg.scale,
         load_size=cfg.loadSize, z_size=cfg.z_size,
         w_mlp1=cfg.mlp1, w_mlp2=cfg.mlp2, w_sr=cfg.srweight,
-        w_disp=cfg.dispweight, dtype=cfg.dtype)
+        w_disp=cfg.dispweight, dtype=resolve_auto("dtype", cfg.dtype))

@@ -184,17 +184,26 @@ def extract_isosurface_sharded(volume, level: float = 0.5,
         mt = min(mt, max_tris_shard)
     mv = n_slots * mp
 
-    outs = jax.device_get(
-        _core_program(mesh, axis, n, Xs, Y, Z, algorithm, mc, mp, mt,
-                      mv, cell_chunk)(vol, lvl))
-    (vid_of, t_of, w0, w1, compact_p,
-     n_verts, n_faces, n_cells, n_tris, n_pts) = outs
+    outs = _core_program(mesh, axis, n, Xs, Y, Z, algorithm, mc, mp, mt,
+                         mv, cell_chunk)(vol, lvl)
+    # counts first (tiny), then only BUCKETED prefixes of the per-shard
+    # wire buffers cross the host link (the capacity-sized buffers can
+    # be 10x+ the live data; bucketing keeps the slice programs reused
+    # across nearby surfaces, mirroring the single-device resolve())
+    n_verts, n_faces, n_cells, n_tris, n_pts = jax.device_get(outs[5:10])
     if (n_cells > mc).any() or (n_pts > mp).any() \
             or (n_tris > mt).any() or (n_verts > mv).any():
         raise ValueError(
             "sharded extraction capacity overflow (cells "
             f"{n_cells.max()}/{mc}, pts {n_pts.max()}/{mp}, tris "
             f"{n_tris.max()}/{mt}, verts {n_verts.max()}/{mv})")
+    bv = min(_bucket(int(max(1, n_verts.max()))), mv)
+    bf = min(_bucket(int(max(1, n_faces.max()))), mt)
+    bc = min(_bucket(int(max(1, n_pts.max()))), mp)
+    vid_of, t_of = (jax.device_get(outs[0][:, :bv]),
+                    jax.device_get(outs[1][:, :bv]))
+    w0, w1 = jax.device_get(outs[2][:, :bf]), jax.device_get(outs[3][:, :bf])
+    compact_p = jax.device_get(outs[4][:, :bc])
 
     # ---- host merge by canonical global edge id ----
     GXYZ = X * Y * Z

@@ -51,11 +51,16 @@ def create_train_state(model: SuRSNet, optimizer, rng, sample_batch,
                       batch_stats=variables.get("batch_stats"))
 
 
-def make_train_step(model: SuRSNet, optimizer, donate: bool = True):
+def make_train_step(model: SuRSNet, optimizer, donate: bool = True,
+                    jit: bool = True):
     """Returns jitted ``step(state, batch) -> (state, metrics)``.
 
     batch keys: images_lr, images_hr, points_lr, points_hr, calibs,
     labels_lr (displacement), labels_hr (occupancy).
+
+    ``jit=False`` returns the traceable step itself so callers can embed
+    it in larger programs (e.g. a ``lax.scan`` chain for steady-state
+    benchmarking, benchmarks/train_bench.py).
     """
     has_bn = model.norm == "batch"
 
@@ -88,6 +93,8 @@ def make_train_step(model: SuRSNet, optimizer, donate: bool = True):
         metrics["pred_lr"] = pred_lr
         return new_state, metrics
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 

@@ -71,6 +71,43 @@ def test_train_step_decreases_loss(rng):
     assert int(state.step) == 6
 
 
+def test_train_step_bf16_trunk_learns(rng):
+    """Mixed-precision training (bf16 conv trunks, f32 params/MLPs/loss,
+    the TPU-auto default) optimizes: loss decreases, params stay finite,
+    and the first-step loss matches the f32 step loosely."""
+    cfg = SuRSConfig(learning_rate=1e-3)
+    opt = make_optimizer(cfg)
+    batch = tiny_batch(rng)
+    m32 = tiny_model()
+    m16 = SuRSNet(load_size=32, num_stack_lr=2, dtype="bfloat16")
+    state = create_train_state(m32, opt, jax.random.PRNGKey(0), batch)
+    s32, l32 = make_train_step(m32, opt, donate=False)(state, batch)
+    state16, losses = state, []
+    step16 = make_train_step(m16, opt, donate=False)
+    for _ in range(6):
+        state16, m = step16(state16, batch)
+        losses.append(float(m["total"]))
+    assert abs(losses[0] - float(l32["total"])) < 0.15
+    assert losses[-1] < losses[0]
+    leaves = jax.tree_util.tree_leaves(state16.params)
+    assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+    assert all(x.dtype == jnp.float32 for x in leaves)
+
+
+def test_config_dtype_auto_resolves_per_backend():
+    from surs_tpu.config import resolve_auto, resolve_backend_defaults
+    from surs_tpu.models import surs_net_from_config
+    cfg = SuRSConfig()
+    assert cfg.dtype == "auto"
+    assert resolve_auto("dtype", cfg.dtype, "cpu") == "float32"
+    assert resolve_auto("dtype", cfg.dtype, "axon") == "bfloat16"
+    assert resolve_backend_defaults(cfg, "tpu").dtype == "bfloat16"
+    # explicit values win
+    assert resolve_auto("dtype", "float32", "tpu") == "float32"
+    # from_config resolves against the live (CPU in tests) backend
+    assert surs_net_from_config(cfg).dtype == "float32"
+
+
 def test_set_learning_rate_no_recompile(rng):
     model = tiny_model()
     cfg = SuRSConfig(learning_rate=1e-3)
