@@ -1,9 +1,11 @@
 from .mesh import (DATA_AXIS, POINT_AXIS, make_mesh, batch_sharding,
                    replicated, point_sharding, shard_batch, replicate_tree)
-from .sharded_mc import extract_isosurface_sharded
+from .sharded_mc import (extract_isosurface_sharded,
+                         extract_isosurface_sharded_begin)
 
 __all__ = [
     "DATA_AXIS", "POINT_AXIS", "make_mesh", "batch_sharding", "replicated",
     "point_sharding", "shard_batch", "replicate_tree",
     "extract_isosurface_sharded",
+    "extract_isosurface_sharded_begin",
 ]

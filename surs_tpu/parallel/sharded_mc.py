@@ -135,23 +135,37 @@ def _core_program(mesh: Mesh, axis: str, n: int, Xs: int, Y: int,
     return _PROGRAMS[key]
 
 
-def extract_isosurface_sharded(volume, level: float = 0.5,
-                               mesh: Optional[Mesh] = None,
-                               axis: Optional[str] = None,
-                               algorithm: str = "cubes",
-                               cell_chunk: int = 1 << 16,
-                               max_cells_shard: int = 1 << 21,
-                               max_tris_shard: Optional[int] = None
-                               ) -> Tuple[np.ndarray, np.ndarray]:
-    """Extract the level isosurface of ``volume`` [X, Y, Z] with one
-    x-slab per device of ``mesh[axis]``; returns host (verts [V, 3] f32
-    grid coords, faces [F, 3] i64) — the SAME welded mesh as the
-    single-device extractor (parity-tested), vertex order permuted.
+def extract_isosurface_sharded_begin(volume, level: float = 0.5,
+                                     mesh: Optional[Mesh] = None,
+                                     axis: Optional[str] = None,
+                                     algorithm: str = "cubes",
+                                     cell_chunk: int = 1 << 16,
+                                     max_cells_shard: int = 1 << 21,
+                                     max_tris_shard: Optional[int] = None,
+                                     defer_sync: bool = False):
+    """Dispatch the sharded extraction of ``volume`` [X, Y, Z] — one
+    x-slab per device of ``mesh[axis]`` — and return its result staged
+    behind the same resolve()/finish() protocol as the single-device
+    ``marching_tetrahedra_device_begin``:
+
+      * the COUNT program is enqueued here; with ``defer_sync=True`` the
+        caller gets ``resolve`` back before any device sync, so a second
+        extraction (the LR field) can be enqueued back-to-back and the
+        mesh pipelines both;
+      * ``resolve()`` fetches the per-shard counts, sizes (bucketed)
+        capacities, enqueues the core program and the bucketed wire
+        slices, and returns ``finish``;
+      * ``finish()`` fetches the slices and does the host merge by
+        canonical global edge id.
+
+    ``defer_sync=False`` returns ``resolve()()`` directly: host
+    (verts [V, 3] f32 grid coords, faces [F, 3] i64) — the SAME welded
+    mesh as the single-device extractor (parity-tested), vertex order
+    permuted.
 
     Requires X % n == 0, (X/n) % 4 == 0, X/n >= 4, Y % 4 == 0 and
     Z % 32 == 0 (the packed word stencil/compaction constraints at slab
-    shape). Capacities are sized (bucketed) from a per-shard counting
-    pass.
+    shape).
     """
     mesh, axis = _slab_mesh(mesh, axis)
     n = mesh.shape[axis]
@@ -166,66 +180,92 @@ def extract_isosurface_sharded(volume, level: float = 0.5,
     n_slots = spec["n_slots"]
     lvl = jnp.float32(level)
 
-    ncs, npts = jax.device_get(
-        _count_program(mesh, axis, n, Xs, Y, Z, algorithm)(vol, lvl))
-    nc = int(max(1, ncs.max()))
-    npt = int(max(1, npts.max()))
-    if nc > max_cells_shard:
-        raise ValueError(f"sharded extraction: {nc} active cells in one "
-                         f"slab > max_cells_shard {max_cells_shard}")
-    if n_slots * npt > (1 << 21):
-        raise ValueError("packed faces hold 21-bit vertex indices: "
-                         "per-shard crossing points exceed the format")
-    # bucketed capacities: nearby surfaces reuse one compiled core
-    mc = min(max_cells_shard, _bucket(nc, 1 << 15))
-    mp = max(npt, min((1 << 21) // n_slots, _bucket(npt, 1 << 15)))
-    mt = spec["tris_per_cell"] * mc
-    if max_tris_shard is not None:
-        mt = min(mt, max_tris_shard)
-    mv = n_slots * mp
+    counts_pend = _count_program(mesh, axis, n, Xs, Y, Z, algorithm)(
+        vol, lvl)
 
-    outs = _core_program(mesh, axis, n, Xs, Y, Z, algorithm, mc, mp, mt,
-                         mv, cell_chunk)(vol, lvl)
-    # counts first (tiny), then only BUCKETED prefixes of the per-shard
-    # wire buffers cross the host link (the capacity-sized buffers can
-    # be 10x+ the live data; bucketing keeps the slice programs reused
-    # across nearby surfaces, mirroring the single-device resolve())
-    n_verts, n_faces, n_cells, n_tris, n_pts = jax.device_get(outs[5:10])
-    if (n_cells > mc).any() or (n_pts > mp).any() \
-            or (n_tris > mt).any() or (n_verts > mv).any():
-        raise ValueError(
-            "sharded extraction capacity overflow (cells "
-            f"{n_cells.max()}/{mc}, pts {n_pts.max()}/{mp}, tris "
-            f"{n_tris.max()}/{mt}, verts {n_verts.max()}/{mv})")
-    bv = min(_bucket(int(max(1, n_verts.max()))), mv)
-    bf = min(_bucket(int(max(1, n_faces.max()))), mt)
-    bc = min(_bucket(int(max(1, n_pts.max()))), mp)
-    vid_of, t_of = (jax.device_get(outs[0][:, :bv]),
-                    jax.device_get(outs[1][:, :bv]))
-    w0, w1 = jax.device_get(outs[2][:, :bf]), jax.device_get(outs[3][:, :bf])
-    compact_p = jax.device_get(outs[4][:, :bc])
+    def resolve():
+        ncs, npts = jax.device_get(counts_pend)
+        nc = int(max(1, ncs.max()))
+        npt = int(max(1, npts.max()))
+        if nc > max_cells_shard:
+            raise ValueError(
+                f"sharded extraction: {nc} active cells in one "
+                f"slab > max_cells_shard {max_cells_shard}")
+        if n_slots * npt > (1 << 21):
+            raise ValueError("packed faces hold 21-bit vertex indices: "
+                             "per-shard crossing points exceed the format")
+        # bucketed capacities: nearby surfaces reuse one compiled core
+        mc = min(max_cells_shard, _bucket(nc, 1 << 15))
+        mp = max(npt, min((1 << 21) // n_slots, _bucket(npt, 1 << 15)))
+        mt = spec["tris_per_cell"] * mc
+        if max_tris_shard is not None:
+            mt = min(mt, max_tris_shard)
+        mv = n_slots * mp
 
-    # ---- host merge by canonical global edge id ----
-    GXYZ = X * Y * Z
-    keys, ts, faces = [], [], []
-    voff = 0
-    for s in range(n):
-        nv = int(n_verts[s])
-        nf = int(n_faces[s])
-        vid = np.asarray(vid_of[s][:nv], np.int64)
-        slot = vid // mp
-        gid = np.asarray(compact_p[s], np.int64)[vid % mp]  # slab-local
-        ggid = gid + s * Xs * Y * Z   # same (Y*Z, Z, 1) strides globally
-        keys.append(slot * GXYZ + ggid)
-        ts.append(np.asarray(t_of[s][:nv], np.float32))
-        faces.append(unpack_wire_faces(
-            np.asarray(w0[s][:nf]).view(np.uint32),
-            np.asarray(w1[s][:nf]).view(np.uint32)) + voff)
-        voff += nv
-    key_all = np.concatenate(keys)
-    t_all = np.concatenate(ts)
-    uniq, first, inv = np.unique(key_all, return_index=True,
-                                 return_inverse=True)
-    verts = replay_wire_vertices(uniq % GXYZ, uniq // GXYZ,
-                                 t_all[first], spec["deltas"], Y, Z)
-    return verts, inv[np.concatenate(faces, axis=0)]
+        outs = _core_program(mesh, axis, n, Xs, Y, Z, algorithm, mc, mp,
+                             mt, mv, cell_chunk)(vol, lvl)
+        # counts first (tiny), then only BUCKETED prefixes of the
+        # per-shard wire buffers cross the host link (the capacity-sized
+        # buffers can be 10x+ the live data; bucketing keeps the slice
+        # programs reused across nearby surfaces, mirroring the
+        # single-device resolve())
+        n_verts, n_faces, n_cells, n_tris, n_pts = \
+            jax.device_get(outs[5:10])
+        if (n_cells > mc).any() or (n_pts > mp).any() \
+                or (n_tris > mt).any() or (n_verts > mv).any():
+            raise ValueError(
+                "sharded extraction capacity overflow (cells "
+                f"{n_cells.max()}/{mc}, pts {n_pts.max()}/{mp}, tris "
+                f"{n_tris.max()}/{mt}, verts {n_verts.max()}/{mv})")
+        bv = min(_bucket(int(max(1, n_verts.max()))), mv)
+        bf = min(_bucket(int(max(1, n_faces.max()))), mt)
+        bc = min(_bucket(int(max(1, n_pts.max()))), mp)
+        slices = [outs[0][:, :bv], outs[1][:, :bv],
+                  outs[2][:, :bf], outs[3][:, :bf], outs[4][:, :bc]]
+        for s in slices:
+            try:
+                s.copy_to_host_async()
+            except Exception:
+                pass  # backend without async copies: finish() is sync
+
+        def finish() -> Tuple[np.ndarray, np.ndarray]:
+            vid_of, t_of, w0, w1, compact_p = map(jax.device_get, slices)
+            # ---- host merge by canonical global edge id ----
+            GXYZ = X * Y * Z
+            keys, ts, faces = [], [], []
+            voff = 0
+            for s in range(n):
+                nv = int(n_verts[s])
+                nf = int(n_faces[s])
+                vid = np.asarray(vid_of[s][:nv], np.int64)
+                slot = vid // mp
+                gid = np.asarray(compact_p[s], np.int64)[vid % mp]
+                ggid = gid + s * Xs * Y * Z  # (Y*Z, Z, 1) strides global
+                keys.append(slot * GXYZ + ggid)
+                ts.append(np.asarray(t_of[s][:nv], np.float32))
+                faces.append(unpack_wire_faces(
+                    np.asarray(w0[s][:nf]).view(np.uint32),
+                    np.asarray(w1[s][:nf]).view(np.uint32)) + voff)
+                voff += nv
+            key_all = np.concatenate(keys)
+            t_all = np.concatenate(ts)
+            uniq, first, inv = np.unique(key_all, return_index=True,
+                                         return_inverse=True)
+            verts = replay_wire_vertices(uniq % GXYZ, uniq // GXYZ,
+                                         t_all[first], spec["deltas"],
+                                         Y, Z)
+            return verts, inv[np.concatenate(faces, axis=0)]
+
+        return finish
+
+    if defer_sync:
+        return resolve
+    return resolve()()
+
+
+def extract_isosurface_sharded(volume, level: float = 0.5,
+                               **kw) -> Tuple[np.ndarray, np.ndarray]:
+    """One-call sharded extraction (see
+    :func:`extract_isosurface_sharded_begin` for the staged protocol and
+    the slab-shape requirements)."""
+    return extract_isosurface_sharded_begin(volume, level, **kw)

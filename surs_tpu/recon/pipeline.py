@@ -273,7 +273,8 @@ class Reconstructor:
             # (mc_caps carries mesh=/axis=/algorithm=), halo over ICI,
             # host merge by canonical global edge id — same welded mesh
             # as the single-device backend (parallel/sharded_mc.py)
-            from ..parallel.sharded_mc import extract_isosurface_sharded
+            from ..parallel.sharded_mc import \
+                extract_isosurface_sharded_begin
             # keep only the sharded extractor's kwargs so one mc_caps
             # dict can be shared across backends (device caps like
             # max_cells/max_tris don't apply per-slab)
@@ -281,8 +282,17 @@ class Reconstructor:
                        "max_cells_shard", "max_tris_shard")
             kw = {k: v for k, v in (mc_caps or {}).items()
                   if k in allowed}
-            yield to_world(*extract_isosurface_sharded(sdf_hr, level, **kw))
-            yield to_world(*extract_isosurface_sharded(sdf_lr, level, **kw))
+            # same staging as the device branch below: both count
+            # programs enqueue before either counts-sync, and the LR
+            # wire transfer streams while the HR mesh is merged/written
+            res_hr = extract_isosurface_sharded_begin(
+                sdf_hr, level, defer_sync=True, **kw)
+            res_lr = extract_isosurface_sharded_begin(
+                sdf_lr, level, defer_sync=True, **kw)
+            fin_hr = res_hr()
+            fin_lr = res_lr()
+            yield to_world(*fin_hr())
+            yield to_world(*fin_lr())
             return
 
         if mc_backend in ("device", "auto"):
