@@ -169,8 +169,11 @@ if ON_TPU:
         fin_holder = {}
         def run_dev(vol=vol, h=fin_holder):
             t0 = time.time()
+            # distinct per-mesh bucket tags, as in extract_pair — a
+            # shared speculative bucket entry would recount+rerun the
+            # larger mesh every call and skew the profiled stage
             h["fin"] = marching_tetrahedra_device_begin(
-                vol, 0.5, algorithm="cubes")
+                vol, 0.5, algorithm="cubes", bucket_tag=name.lower())
             return time.time() - t0
         (_, t_dev) = timed(f"{name} device MC compute (begin+counts)",
                            run_dev)

@@ -1130,7 +1130,8 @@ def eval_grid_dense_cols(cols_weights, feat_lr, feat_hr, calib,
     ctx = {"weights": cols_weights, "feat_lr": feat_lr,
            "feat_hr": feat_hr, "calib": jnp.asarray(calib)}
     cache = cache if cache is not None else {}
-    key = ("dense-cols", R, col_block, use_pallas, mat.tobytes())
+    key = ("dense-cols", R, col_block, use_pallas, interpret,
+           load_size, float(z_size), mat.tobytes())
     if key not in cache:
         cache[key] = jax.jit(run)
     return cache[key](ctx)
@@ -1201,8 +1202,8 @@ def eval_grid_dense_cols_sharded(cols_weights, feat_lr, feat_hr, calib,
     ctx = {"weights": cols_weights, "feat_lr": feat_lr,
            "feat_hr": feat_hr, "calib": jnp.asarray(calib)}
     cache = cache if cache is not None else {}
-    key = ("dense-cols-sharded", R, col_block, use_pallas, n_shards,
-           mat.tobytes())
+    key = ("dense-cols-sharded", R, col_block, use_pallas, interpret,
+           n_shards, load_size, float(z_size), mat.tobytes())
     if key not in cache:
         fn = shard_map(local, mesh=mesh,
                        in_specs=(P(),),

@@ -255,8 +255,16 @@ def _runs_level_step(R: int, reso: int, nwin_chunk: int, run_block: int,
 
 
 def runs_supported(calib, mat, resolution: int,
-                   init_resolution: int) -> bool:
-    """Whether the runs mode applies to this evaluation geometry."""
+                   init_resolution: int, cols_weights=None) -> bool:
+    """Whether the runs mode applies to this evaluation geometry (and,
+    when ``cols_weights`` is given, to this weight shape: the runs
+    kernel carries the per-window depth offset in an hr pad lane, so
+    C_hr must not be a multiple of 128 — fused_mlp.fused_dual_mlp_runs'
+    precondition; callers fall back to the mono program otherwise)."""
+    if cols_weights is not None:
+        segs = cols_weights.spec_lr.base_segments
+        if len(segs) != 3 or segs[2] != 1 or segs[1] % 128 == 0:
+            return False
     mat = np.asarray(mat)
     if not dense_cols_separable(calib, mat):
         return False
@@ -293,17 +301,20 @@ def eval_grid_octree_runs(cols_weights, feat_lr, feat_hr, calib,
         use_pallas = jax.default_backend() != "cpu"
     R = resolution
     mat = np.asarray(mat)
-    if not runs_supported(calib, mat, R, init_resolution):
+    if not runs_supported(calib, mat, R, init_resolution,
+                          cols_weights=cols_weights):
         raise ValueError(
-            "runs octree mode requires a column-separable calibration "
-            "and window-aligned level lattices; use the generic modes")
+            "runs octree mode requires a column-separable calibration, "
+            "window-aligned level lattices and a non-128-aligned C_hr; "
+            "use the generic modes")
     cache = cache if cache is not None else {}
     has_init = init_dirty is not None
     schedule = _level_schedule(R, init_resolution)
     init_lats, init_centers = _normalize_init(init_dirty, R, schedule)
     key = ("runs", R, nwin_chunk, run_block, float(threshold),
            mat.tobytes(), has_init, init_resolution, use_pallas,
-           str(feature_dtype), feature_pack)
+           str(feature_dtype), feature_pack, load_size, float(z_size),
+           interpret)
     if key not in cache:
         def run(cctx, init_lats, init_centers):
             if feature_dtype is not None:

@@ -168,14 +168,19 @@ class Reconstructor:
             res_ok = (resolution % 128 == 0
                       or jax.default_backend() == "cpu")
             if res_ok and dense_cols_separable(calib, mat):
-                f_lr, f_hr = feats_lr[-1], feat_hr
-                if self.feature_dtype is not None:
-                    f_lr = f_lr.astype(self.feature_dtype)
-                    f_hr = f_hr.astype(self.feature_dtype)
+                # features go in at their native dtype: the column path
+                # gathers once per COLUMN (R^2 gathers, not R^3), so the
+                # bf16 storage cast that pays for itself on the
+                # per-point paths is pure eager-dispatch overhead here
+                # (the kernel upcasts to f32 after the gather anyway)
                 sdf_hr, sdf_lr = eval_grid_dense_cols(
-                    self.cols_weights, f_lr, f_hr, calib, resolution,
-                    mat, self.cols_meta[0], self.cols_meta[1],
-                    cache=self._cache)
+                    self.cols_weights, feats_lr[-1], feat_hr, calib,
+                    resolution, mat, self.cols_meta[0],
+                    self.cols_meta[1], cache=self._cache)
+                if stats_out is not None:
+                    # dense: every grid point is evaluated, by design
+                    stats_out["mode"] = "dense-cols"
+                    stats_out["queries"] = resolution ** 3
                 return sdf_hr, sdf_lr, mat
         init_dirty = None
         if silhouette is not None:
@@ -187,7 +192,8 @@ class Reconstructor:
                 and self.cols_weights is not None:
             from .evaluator_runs import (eval_grid_octree_runs,
                                          runs_supported)
-            if runs_supported(calib, mat, resolution, init_resolution):
+            if runs_supported(calib, mat, resolution, init_resolution,
+                              cols_weights=self.cols_weights):
                 # dirty-column-window evaluation: features gathered
                 # once per 8-point z-window, column-shared kernel
                 # (~2.8x fewer MACs / ~8x fewer gather bytes per query
@@ -199,6 +205,11 @@ class Reconstructor:
                     feature_dtype=self.feature_dtype,
                     feature_pack=self.feature_pack,
                     cache=self._cache, init_dirty=init_dirty)
+                if stats_out is not None:
+                    # query counts live device-side in the mono-style
+                    # programs; mark the mode so a zero-queries read is
+                    # attributable ('unsupported here', not 'no work')
+                    stats_out["mode"] = "octree-runs"
                 return sdf_hr, sdf_lr, mat
         ctx = self._make_ctx(weights, feats_lr, feat_hr, calib)
         if use_octree:
@@ -210,6 +221,8 @@ class Reconstructor:
                       "runs": eval_grid_octree_mono}[self.octree_mode]
             kw = {"stats_out": stats_out} \
                 if self.octree_mode == "hostloop" else {}
+            if stats_out is not None and self.octree_mode != "hostloop":
+                stats_out["mode"] = f"octree-{self.octree_mode}"
             sdf_hr, sdf_lr = octree(
                 self._eval_fn, resolution, mat, threshold,
                 init_resolution=init_resolution, num_samples=num_samples,

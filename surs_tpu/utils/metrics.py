@@ -93,6 +93,37 @@ def _subdivide_for_raster(uvz: np.ndarray, attrs: np.ndarray,
     return uvz, attrs, faces
 
 
+# jitted helpers for projected_normal_error: the z-merge, map finalize
+# and reductions would otherwise run as ~10 distinct eager dispatches
+# per call — each a separate remote compile on the tunneled TPU
+# (CLAUDE.md discipline). Shapes are fixed per `res`, so the jit caches
+# hold one program each.
+@jax.jit
+def _zmerge(img, mask, depth, img_c, mask_c, depth_c):
+    win = depth_c < depth
+    return (jnp.where(win[..., None], img_c, img), mask | mask_c,
+            jnp.where(win, depth_c, depth))
+
+
+@jax.jit
+def _finalize_normal_map(img, mask):
+    n = img / jnp.maximum(
+        jnp.linalg.norm(img, axis=-1, keepdims=True), 1e-12)
+    return n * mask[..., None]
+
+
+@jax.jit
+def _normal_map_stats(na, ma, nb, mb):
+    union = ma | mb
+    inter = ma & mb
+    diff = jnp.linalg.norm(na - nb, axis=-1)
+    l2 = jnp.sum(jnp.where(union, diff, 0.0)) \
+        / jnp.maximum(jnp.sum(union), 1)
+    cos = jnp.sum(jnp.where(inter, jnp.sum(na * nb, axis=-1), 0.0)) \
+        / jnp.maximum(jnp.sum(inter), 1)
+    return l2, cos
+
+
 def projected_normal_error(mesh_rec: MeshData, mesh_gt: MeshData,
                            calib: Optional[np.ndarray] = None,
                            res: int = 512
@@ -142,26 +173,15 @@ def projected_normal_error(mesh_rec: MeshData, mesh_gt: MeshData,
             if img is None:
                 img, mask, depth = img_c, mask_c, depth_c
             else:
-                win = depth_c < depth
-                depth = jnp.where(win, depth_c, depth)
-                img = jnp.where(win[..., None], img_c, img)
-                mask = mask | mask_c
+                img, mask, depth = _zmerge(img, mask, depth,
+                                           img_c, mask_c, depth_c)
         # re-normalize the interpolated normals pixel-wise
-        n = img / jnp.maximum(
-            jnp.linalg.norm(img, axis=-1, keepdims=True), 1e-12)
-        return n * mask[..., None], mask
+        return _finalize_normal_map(img, mask), mask
 
     na, ma = normal_map(mesh_rec)
     nb, mb = normal_map(mesh_gt)
-    union = ma | mb
-    inter = ma & mb
-    diff = jnp.linalg.norm(na - nb, axis=-1)
-    n_union = jnp.maximum(jnp.sum(union), 1)
-    l2 = float(jnp.sum(jnp.where(union, diff, 0.0)) / n_union)
-    n_inter = jnp.maximum(jnp.sum(inter), 1)
-    cos = float(jnp.sum(jnp.where(inter, jnp.sum(na * nb, axis=-1), 0.0))
-                / n_inter)
-    return l2, cos
+    l2, cos = _normal_map_stats(na, ma, nb, mb)
+    return float(l2), float(cos)
 
 
 def point_to_surface(points: np.ndarray, mesh: MeshData,

@@ -137,6 +137,24 @@ def test_runs_supported_gates():
     assert not runs_supported((rot @ calib[0])[None], mat, 32, 8)
     # init level below the window size
     assert not runs_supported(calib, mat, 16, 4)
+    # weight-shape gate: the runs kernel needs a free hr pad lane, so a
+    # 128-aligned C_hr must fall back to the mono program instead of
+    # asserting mid-trace (fused_mlp.fused_dual_mlp_runs precondition)
+    class _Spec:
+        base_segments = (256, 64, 1)
+
+    class _SpecAligned:
+        base_segments = (256, 128, 1)
+
+    class _FW:
+        spec_lr = _Spec()
+
+    class _FWAligned:
+        spec_lr = _SpecAligned()
+
+    assert runs_supported(calib, mat, 32, 8, cols_weights=_FW())
+    assert not runs_supported(calib, mat, 32, 8,
+                              cols_weights=_FWAligned())
 
 
 def test_reconstructor_runs_mode_fallback():
