@@ -51,9 +51,9 @@ def main():
             os.path.splitext(f)[0] for f in os.listdir(watch_dir)
             if f.lower().endswith((".jpg", ".png"))
             and not f.endswith("_mask.png"))
-        for name in names:
-            if name in done:
-                continue
+        fresh = [n for n in names if n not in done]
+
+        def load(name):
             img_path = None
             for ext in ("jpg", "png"):
                 p = os.path.join(watch_dir, f"{name}.{ext}")
@@ -62,12 +62,27 @@ def main():
             mask_path = os.path.join(watch_dir, f"{name}_mask.png")
             mask = (np.asarray(Image.open(mask_path).convert("L"))
                     if os.path.isfile(mask_path) else None)
-            img = np.asarray(Image.open(img_path).convert("RGB"))
+            return np.asarray(Image.open(img_path).convert("RGB")), mask
+
+        if len(fresh) > 1:
+            # batch: pipelined serving — subject i+1's device compute
+            # overlaps subject i's mesh merge/OBJ writes
             t0 = time.time()
-            paths = service.reconstruct(img, mask, name, out_dir)
-            print(f"{name}: {time.time() - t0:.2f}s -> {paths[0]}",
-                  flush=True)
-            done.add(name)
+            paths = service.reconstruct_many(
+                ((*load(n), n) for n in fresh), out_dir)
+            dt = (time.time() - t0) / len(fresh)
+            for name, pair in zip(fresh, paths):
+                print(f"{name}: {dt:.2f}s/subject (pipelined) -> "
+                      f"{pair[0]}", flush=True)
+                done.add(name)
+        else:
+            for name in fresh:
+                img, mask = load(name)
+                t0 = time.time()
+                paths = service.reconstruct(img, mask, name, out_dir)
+                print(f"{name}: {time.time() - t0:.2f}s -> {paths[0]}",
+                      flush=True)
+                done.add(name)
         if once:
             break
         time.sleep(poll)

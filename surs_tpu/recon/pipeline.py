@@ -338,12 +338,20 @@ class Reconstructor:
         yield to_world(*extract_isosurface(np.asarray(sdf_hr), level))
         yield to_world(*extract_isosurface(np.asarray(sdf_lr), level))
 
-    def gen_mesh(self, cfg, params, weights, data: dict, save_path: str,
-                 use_octree: bool = True) -> Tuple[str, str]:
-        """Per-subject inference driver (reference gen_mesh,
-        lib/train_util.py:53-85). ``params`` feeds encode; ``weights``
-        feeds the query path (== params unless a query_fn swaps in
-        prepared kernel weights)."""
+    def gen_mesh_begin(self, cfg, params, weights, data: dict,
+                       save_path: str, use_octree: bool = True):
+        """Enqueue one subject's device work; returns ``finish()``.
+
+        The encode and (mono/runs/fused-mode) evaluation programs are
+        dispatched here WITHOUT a device sync; every sync — extraction
+        counts, wire transfers, OBJ writes — happens inside the returned
+        ``finish() -> (path_hr, path_lr)``. A serving loop can therefore
+        begin subject i+1 before finishing subject i, overlapping the
+        host-side merge/write of one subject with the device compute of
+        the next (SuRSService.reconstruct_many). On host-loop evaluator
+        modes (the CPU default) evaluation itself syncs, so begin() is
+        effectively eager there — results are identical either way.
+        """
         img_lr = jnp.asarray(data["img_LR"])
         _, feats_lr, feat_hr = self.encode(params, img_lr)
         # EvalDataset ships the fixed ortho calibration; synthetic /
@@ -365,17 +373,30 @@ class Reconstructor:
         path_hr = save_path[:-4] + "_HR.obj"
         path_lr = save_path[:-4] + "_LR.obj"
         paths = [path_hr, path_lr]
-        # streamed: the HR OBJ write overlaps the LR mesh's transfer
         from ..config import resolve_auto
         mc_caps = {"algorithm": resolve_auto(
             "mc_algorithm", getattr(cfg, "mc_algorithm", "tets"))}
-        for path, (verts, faces) in zip(paths, self.extract_pair(
-                sdf_hr, sdf_lr, mat,
-                mc_backend=resolve_auto(
-                    "mc_backend", getattr(cfg, "mc_backend", "host")),
-                mc_caps=mc_caps)):
-            save_obj_mesh(path, verts, faces)
-        return path_hr, path_lr
+        mc_backend = resolve_auto(
+            "mc_backend", getattr(cfg, "mc_backend", "host"))
+
+        def finish() -> Tuple[str, str]:
+            # streamed: the HR OBJ write overlaps the LR mesh transfer
+            for path, (verts, faces) in zip(paths, self.extract_pair(
+                    sdf_hr, sdf_lr, mat, mc_backend=mc_backend,
+                    mc_caps=mc_caps)):
+                save_obj_mesh(path, verts, faces)
+            return path_hr, path_lr
+
+        return finish
+
+    def gen_mesh(self, cfg, params, weights, data: dict, save_path: str,
+                 use_octree: bool = True) -> Tuple[str, str]:
+        """Per-subject inference driver (reference gen_mesh,
+        lib/train_util.py:53-85). ``params`` feeds encode; ``weights``
+        feeds the query path (== params unless a query_fn swaps in
+        prepared kernel weights)."""
+        return self.gen_mesh_begin(cfg, params, weights, data, save_path,
+                                   use_octree)()
 
 
 # --------------------------------------------------------------------------

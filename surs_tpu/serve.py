@@ -131,6 +131,38 @@ class SuRSService:
                                  data, os.path.join(out_dir, name + ".obj"),
                                  use_octree=self.cfg.use_octree)
 
+    def reconstruct_many(self, items, out_dir: str):
+        """Pipelined batch serving: ``items`` iterates
+        ``(image, mask, name)``; returns the list of (HR, LR) OBJ path
+        pairs, in order.
+
+        Runs a one-subject-deep software pipeline: subject i+1's device
+        programs (encode + evaluation) are ENQUEUED before subject i's
+        extraction/merge/OBJ-write syncs, so the chip never idles while
+        the host writes meshes — steady-state throughput approaches
+        max(device_time, host_time) per subject instead of their sum.
+        Per-subject results are identical to sequential
+        :meth:`reconstruct` calls (the pipeline only reorders work).
+        """
+        os.makedirs(out_dir, exist_ok=True)
+        results, pending = [], None
+        for image, mask, name in items:
+            img, m = normalize_image(image, mask)
+            data = {"img_LR": img, "b_min": np.asarray(self.cfg.b_min),
+                    "b_max": np.asarray(self.cfg.b_max)}
+            if m is not None and self.cfg.mask_prune:
+                data["mask_LR"] = m
+            work = self.rec.gen_mesh_begin(
+                self.cfg, self.params, self.weights, data,
+                os.path.join(out_dir, name + ".obj"),
+                use_octree=self.cfg.use_octree)
+            if pending is not None:
+                results.append(pending())
+            pending = work
+        if pending is not None:
+            results.append(pending())
+        return results
+
     def fields(self, image: np.ndarray, mask: Optional[np.ndarray]):
         """Raw (sdf_hr, sdf_lr) occupancy volumes for a subject (for
         downstream consumers that do their own extraction)."""

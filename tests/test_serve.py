@@ -35,3 +35,31 @@ def test_service_reconstruct(tmp_path, rng):
 
     sdf_hr, sdf_lr = service.fields(img, mask)
     assert sdf_hr.shape == (16, 16, 16)
+
+
+def test_service_reconstruct_many_matches_sequential(tmp_path, rng):
+    """Pipelined batch serving produces byte-identical OBJs to
+    sequential reconstruct calls (the pipeline only reorders work)."""
+    cfg = SuRSConfig(loadSize=32, num_stack_lr=2, resolution=16,
+                     num_samples=256, octree_init_resolution=8,
+                     b_min=[-1.0] * 3, b_max=[1.0] * 3, use_pallas=False,
+                     mask_prune=True)
+    service = SuRSService(cfg, compilation_cache=False)
+    items = []
+    for i in range(3):
+        img = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+        mask = np.zeros((16, 16), np.uint8)
+        mask[3:13, 3 + i:13] = 255
+        items.append((img, mask, f"s{i}"))
+
+    seq_dir = str(tmp_path / "seq")
+    pipe_dir = str(tmp_path / "pipe")
+    seq = [service.reconstruct(im, m, n, seq_dir) for im, m, n in items]
+    pipe = service.reconstruct_many(items, pipe_dir)
+    assert len(pipe) == len(seq)
+    for (sh, sl), (ph, pl) in zip(seq, pipe):
+        assert os.path.basename(sh) == os.path.basename(ph)
+        with open(sh, "rb") as a, open(ph, "rb") as b:
+            assert a.read() == b.read()
+        with open(sl, "rb") as a, open(pl, "rb") as b:
+            assert a.read() == b.read()
