@@ -1,0 +1,68 @@
+import sys, os, time
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__),
+                                                '..')))
+"""Sequential vs pipelined batch serving throughput.
+
+Times SuRSService.reconstruct (loop) against reconstruct_many (one-
+subject-deep pipeline) over N subjects at the serving operating point.
+Wall timings are honest by construction: every subject ends in host OBJ
+writes, so there is no dispatch-elision hazard. Random weights; the
+comparison is mode-vs-mode on identical inputs.
+
+Env: SERVE_RES (default 256), SERVE_N (default 4), SERVE_LOAD (256).
+"""
+import numpy as np
+import jax
+from surs_tpu.utils.cache import enable_compilation_cache
+enable_compilation_cache()
+from surs_tpu.config import SuRSConfig
+from surs_tpu.serve import SuRSService
+
+RES = int(os.environ.get("SERVE_RES", "256"))
+N = int(os.environ.get("SERVE_N", "4"))
+LOAD = int(os.environ.get("SERVE_LOAD", "256"))
+ON_TPU = jax.default_backend() != "cpu"
+
+cfg = SuRSConfig(loadSize=LOAD, num_stack_lr=3 if ON_TPU else 2,
+                 resolution=RES, num_samples=262144 if ON_TPU else 4096,
+                 octree_init_resolution=64 if ON_TPU else 16,
+                 residual=ON_TPU, mask_prune=True,
+                 b_min=[-0.5] * 3, b_max=[0.5] * 3,
+                 use_pallas=ON_TPU)
+service = SuRSService(cfg)
+S = LOAD // 2
+print(f"warmup: {service.warmup((S, S)):.1f}s", flush=True)
+
+rng = np.random.default_rng(0)
+yy, xx = np.mgrid[:S, :S]
+mask = ((((xx - S / 2) ** 2) / (S * 0.28) ** 2
+         + ((yy - S / 2) ** 2) / (S * 0.42) ** 2) < 1.0)
+mask_u8 = (mask * 255).astype(np.uint8)
+items = [((rng.random((S, S, 3)) * 255).astype(np.uint8), mask_u8,
+          f"subj{i}") for i in range(N)]
+
+import tempfile
+with tempfile.TemporaryDirectory() as td:
+    # warm both paths once (bucket caches, slice programs)
+    service.reconstruct(*items[0][:2], "warm", os.path.join(td, "w"))
+    service.reconstruct_many(items[:1], os.path.join(td, "wp"))
+
+    t0 = time.time()
+    for img, m, name in items:
+        service.reconstruct(img, m, name, os.path.join(td, "seq"))
+    t_seq = time.time() - t0
+
+    t0 = time.time()
+    service.reconstruct_many(items, os.path.join(td, "pipe"))
+    t_pipe = time.time() - t0
+
+    # parity spot check
+    a = open(os.path.join(td, "seq", "subj1_HR.obj"), "rb").read()
+    b = open(os.path.join(td, "pipe", "subj1_HR.obj"), "rb").read()
+    assert a == b, "pipelined output diverged from sequential"
+
+print(f"sequential: {t_seq:.2f}s total, {t_seq / N:.2f}s/subject, "
+      f"{60 * N / t_seq:.1f} subjects/min", flush=True)
+print(f"pipelined:  {t_pipe:.2f}s total, {t_pipe / N:.2f}s/subject, "
+      f"{60 * N / t_pipe:.1f} subjects/min "
+      f"({t_seq / t_pipe:.2f}x)", flush=True)
