@@ -220,3 +220,57 @@ def test_extract_pair_sharded_backend_matches_host():
         faces_s, verts_s = _canon_mesh(vs, fs)
         faces_h, verts_h = _canon_mesh(vh, fh)
         assert verts_s == verts_h and faces_s == faces_h
+
+
+def test_reconstruct_subject_sharded_end_to_end(rng):
+    """Single-subject multi-chip flow (column-sharded dense eval chained
+    into slab-sharded extraction, volumes never replicated) == the
+    single-device dense-cols + device-extractor path, world coords."""
+    from surs_tpu.ops.fused_mlp import prepare_fused_weights
+    from surs_tpu.recon.grid import grid_matrix
+    from surs_tpu.recon.evaluator import eval_grid_dense_cols
+    from surs_tpu.recon.tetra_device import marching_tetrahedra_device
+    from surs_tpu.parallel import reconstruct_subject_sharded
+
+    model = SuRSNet(load_size=32, num_stack_lr=2)
+    S = 16
+    img = jnp.asarray(rng.standard_normal((1, S, S, 3)).astype(np.float32))
+    img_hr = jnp.asarray(
+        rng.standard_normal((1, 2 * S, 2 * S, 3)).astype(np.float32))
+    pts0 = jnp.asarray((rng.random((1, 3, 4)) - 0.5).astype(np.float32))
+    calib = np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32)[None]
+    params = model.init(jax.random.PRNGKey(0), img, img_hr, pts0, pts0,
+                        jnp.asarray(calib), train=True)["params"]
+    _, feats_lr, feat_hr = model.apply({"params": params}, img,
+                                       train=False,
+                                       method=SuRSNet.encode)
+    fw3 = prepare_fused_weights(
+        params["mlp_lr"], params["mlp_hr"],
+        (321, 1024, 512, 256, 128, 1), (322, 1024, 512, 256, 128, 1),
+        base_split=(256, 64, 1))
+    R = 32
+    b_min, b_max = np.array([-0.5] * 3), np.array([0.5] * 3)
+    mesh = make_mesh(n_data=1, n_points=8)
+
+    vh, fh, vl, fl = reconstruct_subject_sharded(
+        fw3, feats_lr[-1], feat_hr, calib, R, b_min, b_max, 32, 200.0,
+        mesh, cell_chunk=1 << 10)
+
+    mat = grid_matrix((R,) * 3, b_min, b_max)
+    sdf_hr, sdf_lr = eval_grid_dense_cols(fw3, feats_lr[-1], feat_hr,
+                                          calib, R, mat, 32, 200.0)
+
+    def single(vol):
+        v, f = marching_tetrahedra_device(
+            np.asarray(vol), 0.5, max_cells=1 << 16, max_tris=1 << 19,
+            max_verts=1 << 18, cell_chunk=1 << 10, algorithm="cubes")
+        v = v @ np.asarray(mat[:3, :3]).T + np.asarray(mat[:3, 3])
+        return v.astype(np.float32), f
+
+    for (vs, fs), vol in (((vh, fh), sdf_hr), ((vl, fl), sdf_lr)):
+        vd, fd = single(vol)
+        assert fs.shape == fd.shape and vs.shape == vd.shape
+        faces_s, verts_s = _canon_mesh(vs, fs)
+        faces_d, verts_d = _canon_mesh(vd, fd)
+        assert verts_s == verts_d
+        assert faces_s == faces_d
