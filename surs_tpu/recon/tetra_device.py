@@ -695,31 +695,48 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_pts: int,
             mp_, mode="drop")
 
     n_vid = n_slots * max_pts
-    fbuf0 = tuple(jnp.zeros((max_tris + 1,), jnp.int32) for _ in range(3))
+    # emit-time packing: when every vid fits 21 bits (cubes always —
+    # max_pts is capped at 2^21/3; tets at small-to-mid capacities) the
+    # emit loop packs the 3 vid streams into 2 words with the wire-
+    # format bit layout, so each chunk pays 2 max_tris-domain scatters
+    # instead of 3 and the loop carries one buffer fewer. max_pts is
+    # static, so this is a trace-time branch, not a dual runtime path.
+    pack_emit = n_vid <= (1 << 21)
+    n_bufs = 2 if pack_emit else 3
+    fbuf0 = tuple(jnp.zeros((max_tris + 1,), jnp.int32)
+                  for _ in range(n_bufs))
 
     na = jnp.minimum(n_cells, max_cells)
     num_chunks = (na + cell_chunk - 1) // cell_chunk
 
     def body(carry):
-        f0, f1, f2, n_tris, c = carry
+        *fbufs, n_tris, c = carry
         idx = c * cell_chunk + jnp.arange(cell_chunk, dtype=jnp.int32)
         cell_valid = idx < na
         gids = compact[jnp.minimum(idx, max_cells)]
         v0, v1, v2, valid = _emit_cells(
             vol_flat, gids, cell_valid, rankp_lat, level, dims,
             max_pts, algo, fold_case=fold_case)
+        streams = ((v0 | (v1 << 21), (v1 >> 11) | (v2 << 10))
+                   if pack_emit else (v0, v1, v2))
         # compact this chunk's triangles into the global buffers
         pos = n_tris + jnp.cumsum(valid.astype(jnp.int32)) - 1
         ftgt = jnp.where(valid & (pos < max_tris), pos, max_tris)
-        f0 = f0.at[ftgt].set(v0, mode="drop")
-        f1 = f1.at[ftgt].set(v1, mode="drop")
-        f2 = f2.at[ftgt].set(v2, mode="drop")
+        fbufs = [f.at[ftgt].set(s, mode="drop")
+                 for f, s in zip(fbufs, streams)]
         n_tris = n_tris + jnp.sum(valid.astype(jnp.int32))
-        return f0, f1, f2, n_tris, c + 1
+        return (*fbufs, n_tris, c + 1)
 
-    f0, f1, f2, n_tris, _ = lax.while_loop(
-        lambda ca: ca[4] < num_chunks, body,
+    *fbufs, n_tris, _ = lax.while_loop(
+        lambda ca: ca[n_bufs + 1] < num_chunks, body,
         fbuf0 + (jnp.int32(0), jnp.int32(0)))
+    if pack_emit:
+        e0, e1 = fbufs[0][:max_tris], fbufs[1][:max_tris]
+        f0 = e0 & 0x1FFFFF
+        f1 = ((e0 >> 21) & 0x7FF) | ((e1 & 0x3FF) << 11)
+        f2 = (e1 >> 10) & 0x1FFFFF
+    else:
+        f0, f1, f2 = (b[:max_tris] for b in fbufs)
 
     # ---- vertex presence, weld index and position — SLOT-MAJOR and
     # dense over the compacted crossing points: per slot, one gather of
@@ -766,9 +783,9 @@ def _march_core(vol_flat, level, dims, max_cells: int, max_pts: int,
 
     # ---- face remap + degenerate drop, bit-packed 3x21 -> 2 words ----
     nt = jnp.minimum(n_tris, max_tris)
-    g0 = remap[jnp.minimum(f0[:max_tris], n_vid - 1)]
-    g1 = remap[jnp.minimum(f1[:max_tris], n_vid - 1)]
-    g2 = remap[jnp.minimum(f2[:max_tris], n_vid - 1)]
+    g0 = remap[jnp.minimum(f0, n_vid - 1)]
+    g1 = remap[jnp.minimum(f1, n_vid - 1)]
+    g2 = remap[jnp.minimum(f2, n_vid - 1)]
     tri_ok = ((jnp.arange(max_tris) < nt)
               & (g0 != g1) & (g1 != g2) & (g0 != g2))
     fpos = jnp.cumsum(tri_ok.astype(jnp.int32)) - 1

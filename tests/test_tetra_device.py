@@ -411,3 +411,21 @@ def test_rect_pair_compaction_matches_flat(monkeypatch):
         == np.flatnonzero(np.asarray(a)).tolist()
     assert sorted(np.asarray(cp)[:np_ref].tolist()) \
         == np.flatnonzero(np.asarray(p)).tolist()
+
+
+def test_emit_pack_paths_agree():
+    """The packed 2-stream emit path (n_vid <= 2^21, the production
+    cubes configuration) and the 3-stream path (large tets capacities)
+    produce the same mesh as the host reference."""
+    vol = sphere_vol(16, (7.5, 7.5, 7.5), 5.0)
+    vh, fh = mt_host(vol, 0.5)
+    common = dict(max_cells=1 << 12, max_tris=1 << 16,
+                  max_verts=1 << 16, cell_chunk=1 << 9)
+    # packed: 7 * 2^12 vids < 2^21
+    vd, fd = marching_tetrahedra_device(vol, 0.5, max_pts=1 << 12,
+                                        **common)
+    assert_same_mesh(vh, fh, vd, fd)
+    # unpacked: 7 * 2^19 vids > 2^21 forces the 3-stream emit path
+    vd2, fd2 = marching_tetrahedra_device(vol, 0.5, max_pts=1 << 19,
+                                          **common)
+    assert_same_mesh(vh, fh, vd2, fd2)
