@@ -110,6 +110,41 @@ for detail, tag in ((0.012, "benchmark humanoid"),
     f0, f1, f2, n_tris = timed(f"phase2 emit loop (chunk {CHUNK})",
                                phase2, vol_flat, compact, rankp_lat, nc)
 
+    if n_vid <= (1 << 21):
+        # the production emit path since round-3 session 3: 2 packed
+        # scatter streams instead of 3 (tetra_device._march_core)
+        @jax.jit
+        def phase2_packed(vol_flat, compact, rankp_lat, n_cells):
+            na = jnp.minimum(n_cells, mc)
+            num_chunks = (na + CHUNK - 1) // CHUNK
+            fbuf0 = tuple(jnp.zeros((mt + 1,), jnp.int32)
+                          for _ in range(2))
+
+            def body(carry):
+                e0, e1, n_tris, c = carry
+                idx = c * CHUNK + jnp.arange(CHUNK, dtype=jnp.int32)
+                cell_valid = idx < na
+                gids = compact[jnp.minimum(idx, mc)]
+                v0, v1, v2, valid = td._emit_cells(
+                    vol_flat, gids, cell_valid, rankp_lat,
+                    jnp.float32(0.5), (X, Y, Z), mp, ALGO,
+                    fold_case=True)
+                pos = n_tris + jnp.cumsum(valid.astype(jnp.int32)) - 1
+                ftgt = jnp.where(valid & (pos < mt), pos, mt)
+                e0 = e0.at[ftgt].set(v0 | (v1 << 21), mode="drop")
+                e1 = e1.at[ftgt].set((v1 >> 11) | (v2 << 10),
+                                     mode="drop")
+                n_tris = n_tris + jnp.sum(valid.astype(jnp.int32))
+                return e0, e1, n_tris, c + 1
+
+            e0, e1, n_tris, _ = lax.while_loop(
+                lambda ca: ca[3] < num_chunks, body,
+                fbuf0 + (jnp.int32(0), jnp.int32(0)))
+            return e0, e1, n_tris
+
+        timed(f"phase2 emit loop PACKED 2-stream (chunk {CHUNK})",
+              phase2_packed, vol_flat, compact, rankp_lat, nc)
+
     @jax.jit
     def phase3(vol_flat, compact_p, f0, f1, f2, n_tris, n_pts):
         # slot-major dense finalize over the compacted crossing points
