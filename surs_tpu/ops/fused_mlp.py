@@ -479,12 +479,21 @@ def _cols_layer_offsets(spec: MLPSpec, i: int):
 
 
 def _cols_chain(x_parts, z0s, ws, bs, spec: MLPSpec, Z: int,
-                compute_dtype, pred=None):
-    """One column's layer chain over its Z depth samples.
+                compute_dtype, pred=None, kf=None, expand=None):
+    """One column's layer chain over its Z depth samples — the single
+    source of truth for the column-shared layer math (the cols AND runs
+    kernels both use it).
 
-    x_parts: [1, P] padded column features (lr, hr). z0s: {layer: [Z,
-    out]} depth outer products. pred: [Z, 1] coarse conditioning (hr
-    MLP). Returns the final padded logits [Z, out_pad]."""
+    x_parts: [rows, P] padded column features (lr, hr). z0s: {layer:
+    [Z, out]} depth outer products. pred: [Z, 1] coarse conditioning
+    (hr MLP). ``kf`` (runs kernel): [rows, 1] per-window depth offset,
+    added via the depth-weight row before expansion. ``expand``: how a
+    per-column [rows, out] term becomes Z rows — broadcast for the cols
+    kernel (rows == 1), z-major tiling for the runs kernel. Returns the
+    final padded logits [Z, out_pad]."""
+    if expand is None:
+        def expand(col):
+            return jnp.broadcast_to(col, (Z, col.shape[-1]))
     n_layers = len(spec.dims) - 1
     h = None
     for i in range(n_layers):
@@ -500,8 +509,9 @@ def _cols_chain(x_parts, z0s, ws, bs, spec: MLPSpec, Z: int,
                             W[off:off + p.shape[-1]],
                             preferred_element_type=jnp.float32)
                 col = d if col is None else col + d
-            acc = jnp.broadcast_to(col, (Z, col.shape[-1]))
-            acc = acc + z0s[i].astype(jnp.float32)
+            if kf is not None:
+                col = col + kf * W[z_row:z_row + 1].astype(jnp.float32)
+            acc = expand(col) + z0s[i].astype(jnp.float32)
             if i > 0:
                 acc = acc + jnp.dot(h.astype(compute_dtype), W[:h_rows],
                                     preferred_element_type=jnp.float32)
@@ -605,7 +615,15 @@ def fused_dual_mlp_cols(x_lr: jnp.ndarray, x_hr: jnp.ndarray,
     # -Z variant overflows the 16 MB scoped-VMEM budget at Z=512. The
     # per-column feature matmuls are recomputed per z-block (Z/zb x, a
     # few-percent overhead).
-    zb = 256 if (Z >= 256 and Z % 256 == 0) else Z
+    # any Z > 256 admitted by callers (the pipeline gates on
+    # Z % 128 == 0) must sub-block: Z=384 whole-Z would carry ~3/4 of
+    # the footprint documented to overflow at 512
+    if Z > 256 and Z % 256 == 0:
+        zb = 256
+    elif Z > 256 and Z % 128 == 0:
+        zb = 128
+    else:
+        zb = Z
     kernel = functools.partial(
         _kernel_cols, cb=cb, Z=zb, n_lr=n_lr, n_hr=n_hr,
         lr_z_layers=lr_zl, hr_z_layers=hr_zl,
@@ -687,40 +705,15 @@ def _kernel_runs(x_lr_ref, x_hrk_ref, *refs, rb: int, zb: int, c_hr: int,
     def tile_runs(col):                       # [rb, out] -> [zb*rb, out]
         return jnp.concatenate([col] * zb, axis=0)
 
-    def chain(z0s, ws, bs, spec, pred=None):
-        n_layers = len(spec.dims) - 1
-        h = None
-        for i in range(n_layers):
-            h_rows, seg_offs, z_row, pred_row = _cols_layer_offsets(
-                spec, i)
-            W = ws[i]
-            if seg_offs is None:              # plain layer: h only
-                acc = jnp.dot(h.astype(compute_dtype), W[:h_rows],
-                              preferred_element_type=jnp.float32)
-            else:
-                col = None
-                for p, off in zip(x_parts, seg_offs):
-                    d = jnp.dot(p.astype(compute_dtype),
-                                W[off:off + p.shape[-1]],
-                                preferred_element_type=jnp.float32)
-                    col = d if col is None else col + d
-                col = col + kf * W[z_row:z_row + 1].astype(jnp.float32)
-                acc = tile_runs(col) + z0s[i].astype(jnp.float32)
-                if i > 0:
-                    acc = acc + jnp.dot(h.astype(compute_dtype),
-                                        W[:h_rows],
-                                        preferred_element_type=jnp.float32)
-                if pred_row is not None and pred is not None:
-                    acc = acc + pred * W[pred_row:pred_row + 1].astype(
-                        jnp.float32)
-            h = acc + bs[i]
-            if i < n_layers - 1:
-                h = jnp.where(h >= 0, h, 0.01 * h)   # leaky_relu(0.01)
-        return h
-
-    logit_lr = chain(z0_lr, lr_w, lr_b, spec_lr)
+    # the shared column layer chain, with the runs twists injected:
+    # kf adds the per-window depth offset via the depth-weight row, and
+    # expansion is z-major tiling of the [rb, out] column term
+    logit_lr = _cols_chain(x_parts, z0_lr, lr_w, lr_b, spec_lr, zb * rb,
+                           compute_dtype, kf=kf, expand=tile_runs)
     pred_lr = jax.nn.sigmoid(logit_lr[:, :1])        # [zb*rb, 1]
-    logit_hr = chain(z0_hr, hr_w, hr_b, spec_hr, pred=pred_lr)
+    logit_hr = _cols_chain(x_parts, z0_hr, hr_w, hr_b, spec_hr, zb * rb,
+                           compute_dtype, pred=pred_lr, kf=kf,
+                           expand=tile_runs)
     pred_hr = jax.nn.sigmoid(logit_hr[:, :1])
     # one [1, zb*rb] output row per block (a 1-D out block would need
     # the XLA T(1024) tiling; the [zb*rb, 1] -> row relayout is the
@@ -756,6 +749,13 @@ def fused_dual_mlp_runs(x_lr: jnp.ndarray, x_hr: jnp.ndarray,
     rb = run_block
     n_pad = -NR % rb
     NRp = NR + n_pad
+    # the kf depth offset rides in the hr pad lane, so it inherits
+    # x_hr's dtype — at bf16 that silently quantizes the depth feature
+    # (~0.4% relative) and breaks the documented Pallas/XLA parity;
+    # callers upcast gathered features to f32 first (evaluator_runs)
+    assert x_hr.dtype == jnp.float32, (
+        "fused_dual_mlp_runs needs f32 sample rows (the kf depth "
+        f"offset shares x_hr's dtype); got {x_hr.dtype}")
     x_lr_p = jnp.pad(x_lr, ((0, n_pad), (0, P0 - C_lr)))
     x_hrk = jnp.concatenate(
         [x_hr, kf[:, None].astype(x_hr.dtype),

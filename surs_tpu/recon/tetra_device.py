@@ -479,25 +479,22 @@ def _group_compact2(a_flat, p_flat, blk_compact, g0, nb, L: int,
     return tuple(out)
 
 
-def _compact_pair_from_words(words, dims: Tuple[int, ...], cap_a: int,
-                             cap_p: int):
-    """The packed-pair compaction core: active cells (bit 0) and
-    crossing points (bit 1) of a `_pack_pair`-layout word lattice over
-    ONE shared dirty-block structure. Returns ((compact_a, n_a),
-    (compact_p, n_p)); buffers are [cap + group] long with garbage past
-    the count (consumers mask by count; overflow triggers the caller's
-    recount-and-rerun). Supports rectangular dims (the sharded
-    extractor's slabs) — every edge must be a multiple of 4, Z of 16."""
+def _pair_compact_loop(group_fn, nb, cap_a: int, cap_p: int):
+    """Shared two-level pair-compaction driver: streams dirty-block
+    groups through ``group_fn(g0) -> (ca, na_g, cp, np_g)`` and appends
+    each group's S-element compactions contiguously
+    (dynamic_update_slice, not a second full element scatter). Returns
+    ((compact_a, n_a), (compact_p, n_p)); buffers are [cap + group]
+    long with garbage past the count (consumers mask by count; overflow
+    triggers the caller's recount-and-rerun)."""
     G = _MC_GROUP_BLOCKS
     S = G * 64
-    blk_compact, nb = _block_summary_pair_packed(words, dims, G)
     outa0 = jnp.zeros((cap_a + S,), jnp.int32)
     outp0 = jnp.zeros((cap_p + S,), jnp.int32)
 
     def body(carry):
         outa, na, outp, npt, g = carry
-        ca, na_g, cp, np_g = _group_compact2_packed(
-            words, blk_compact, g * G, nb, dims, G, S)
+        ca, na_g, cp, np_g = group_fn(g * G)
         outa = lax.dynamic_update_slice(outa, ca[:S],
                                         (jnp.minimum(na, cap_a),))
         outp = lax.dynamic_update_slice(outp, cp[:S],
@@ -510,13 +507,29 @@ def _compact_pair_from_words(words, dims: Tuple[int, ...], cap_a: int,
     return (outa, na), (outp, npt)
 
 
+def _compact_pair_from_words(words, dims: Tuple[int, ...], cap_a: int,
+                             cap_p: int):
+    """The packed-pair compaction core: active cells (bit 0) and
+    crossing points (bit 1) of a `_pack_pair`-layout word lattice over
+    ONE shared dirty-block structure. Supports rectangular dims (the
+    sharded extractor's slabs) — every edge must be a multiple of 4,
+    Z of 16. See ``_pair_compact_loop`` for the output contract."""
+    G = _MC_GROUP_BLOCKS
+    S = G * 64
+    blk_compact, nb = _block_summary_pair_packed(words, dims, G)
+    return _pair_compact_loop(
+        lambda g0: _group_compact2_packed(words, blk_compact, g0, nb,
+                                          dims, G, S),
+        nb, cap_a, cap_p)
+
+
 def _compact_capped_pair(act_flat, pt_flat, cap_a: int, cap_p: int):
     """Compact the active-cell AND crossing-point lattices over ONE
     shared dirty-block structure (their dirty blocks nearly coincide:
     every crossing edge's min corner is a corner of an active cell).
-    One block summary instead of two, one set of candidate index math
-    per group, and the per-group copy-out is a contiguous
-    dynamic_update_slice instead of a second full element scatter."""
+    One block summary instead of two, and one set of candidate index
+    math per group. See ``_pair_compact_loop`` for the output
+    contract."""
     n_flat = act_flat.shape[0]
     L = round(n_flat ** (1 / 3))
     if L ** 3 != n_flat or L % 4 != 0:
@@ -528,23 +541,10 @@ def _compact_capped_pair(act_flat, pt_flat, cap_a: int, cap_p: int):
     G = _MC_GROUP_BLOCKS
     S = G * 64
     blk_compact, nb = _block_summary(act_flat | pt_flat, L, 4, G)
-    outa0 = jnp.zeros((cap_a + S,), jnp.int32)
-    outp0 = jnp.zeros((cap_p + S,), jnp.int32)
-
-    def body(carry):
-        outa, na, outp, npt, g = carry
-        ca, na_g, cp, np_g = _group_compact2(
-            act_flat, pt_flat, blk_compact, g * G, nb, L, 4, G, S)
-        outa = lax.dynamic_update_slice(outa, ca[:S],
-                                        (jnp.minimum(na, cap_a),))
-        outp = lax.dynamic_update_slice(outp, cp[:S],
-                                        (jnp.minimum(npt, cap_p),))
-        return outa, na + na_g, outp, npt + np_g, g + 1
-
-    outa, na, outp, npt, _ = lax.while_loop(
-        lambda ca: ca[4] * G < nb, body,
-        (outa0, jnp.int32(0), outp0, jnp.int32(0), jnp.int32(0)))
-    return (outa, na), (outp, npt)
+    return _pair_compact_loop(
+        lambda g0: _group_compact2(act_flat, pt_flat, blk_compact, g0,
+                                   nb, L, 4, G, S),
+        nb, cap_a, cap_p)
 
 
 def _emit_cells(vol_flat, cell_gids, cell_valid, rankp_lat, level,
