@@ -31,10 +31,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from .mesh import POINT_AXIS
-from .sharded_mc import extract_isosurface_sharded_begin
 from ..recon.evaluator import (eval_grid_dense_cols_sharded,
                                dense_cols_separable)
-from ..recon.grid import grid_matrix
+from ..recon.grid import grid_matrix, require_diagonal
 
 
 def reconstruct_subject_sharded(cols_weights, feat_lr, feat_hr, calib,
@@ -60,10 +59,14 @@ def reconstruct_subject_sharded(cols_weights, feat_lr, feat_hr, calib,
     the same welded meshes as the single-device dense path (vertex
     order permuted; parity-tested in tests/test_parallel.py).
     """
+    from ..recon.pipeline import Reconstructor
+
     R = resolution
     mat = grid_matrix((R,) * 3, b_min, b_max)
     if transform is not None:
-        mat = np.asarray(transform) @ mat
+        mat = require_diagonal(
+            np.asarray(transform) @ mat,
+            "reconstruct_subject_sharded(transform=)")
     if not dense_cols_separable(calib, mat):
         raise ValueError("sharded single-subject reconstruction requires "
                          "a column-separable calibration (the production "
@@ -73,21 +76,12 @@ def reconstruct_subject_sharded(cols_weights, feat_lr, feat_hr, calib,
         z_size, mesh, col_block=col_block, use_pallas=use_pallas,
         interpret=interpret, cache=cache)
 
-    kw = dict(mesh=mesh, axis=axis, algorithm=algorithm,
-              cell_chunk=cell_chunk)
-    res_hr = extract_isosurface_sharded_begin(sdf_hr, level,
-                                              defer_sync=True, **kw)
-    res_lr = extract_isosurface_sharded_begin(sdf_lr, level,
-                                              defer_sync=True, **kw)
-    fin_hr = res_hr()
-    fin_lr = res_lr()
-
-    mat = np.asarray(mat)
-
-    def to_world(verts, faces):
-        verts = verts @ mat[:3, :3].T + mat[:3, 3]
-        return verts.astype(np.float32), faces
-
-    verts_hr, faces_hr = to_world(*fin_hr())
-    verts_lr, faces_lr = to_world(*fin_lr())
-    return verts_hr, faces_hr, verts_lr, faces_lr
+    # extraction + world transform + HR/LR pipelining live in ONE place:
+    # the pipeline's sharded extract_pair branch (recon/pipeline.py)
+    out = []
+    for verts, faces in Reconstructor.extract_pair(
+            sdf_hr, sdf_lr, mat, level=level, mc_backend="sharded",
+            mc_caps=dict(mesh=mesh, axis=axis, algorithm=algorithm,
+                         cell_chunk=cell_chunk)):
+        out += [verts, faces]
+    return tuple(out)

@@ -1168,7 +1168,11 @@ def eval_grid_dense_cols_sharded(cols_weights, feat_lr, feat_hr, calib,
     R = resolution
     ncol = R * R
     n_shards = mesh.shape[POINT_AXIS]
-    assert R % n_shards == 0, (R, n_shards)
+    if R % n_shards != 0:
+        raise ValueError(
+            f"column-sharded dense evaluation needs resolution divisible "
+            f"by the '{POINT_AXIS}' axis size (whole x-rows per device); "
+            f"got R={R} over {n_shards} shards")
     ncol_loc = ncol // n_shards
     mat = np.asarray(mat)
 
@@ -1202,8 +1206,13 @@ def eval_grid_dense_cols_sharded(cols_weights, feat_lr, feat_hr, calib,
     ctx = {"weights": cols_weights, "feat_lr": feat_lr,
            "feat_hr": feat_hr, "calib": jnp.asarray(calib)}
     cache = cache if cache is not None else {}
+    # the compiled shard_map closes over the CONCRETE mesh, so the key
+    # carries the device identity (a same-size mesh over different
+    # devices/order must not reuse the program — sharded_mc._mesh_key
+    # discipline)
     key = ("dense-cols-sharded", R, col_block, use_pallas, interpret,
-           n_shards, load_size, float(z_size), mat.tobytes())
+           tuple(d.id for d in mesh.devices.flat), mesh.axis_names,
+           load_size, float(z_size), mat.tobytes())
     if key not in cache:
         fn = shard_map(local, mesh=mesh,
                        in_specs=(P(),),

@@ -30,6 +30,22 @@ def grid_matrix(res: Tuple[int, int, int], b_min, b_max) -> np.ndarray:
     return mat
 
 
+def require_diagonal(mat: np.ndarray, context: str) -> np.ndarray:
+    """Every device evaluator synthesizes world coordinates via
+    ``flat_index_to_world``, which reads only diag(mat[:3, :3]) — a
+    rotational/shear grid transform would be SILENTLY dropped by the
+    field evaluation while extraction applied it to the vertices
+    (inconsistent, garbage geometry). Raise instead."""
+    rot = np.asarray(mat[:3, :3], np.float64)
+    if not np.allclose(rot, np.diag(np.diag(rot)), atol=1e-12):
+        raise ValueError(
+            f"{context} supports only axis-aligned (diagonal) grid "
+            "transforms: the device evaluators synthesize coordinates "
+            "from diag(mat); got off-diagonal terms "
+            f"{rot - np.diag(np.diag(rot))!r}")
+    return mat
+
+
 def create_grid(res_x: int, res_y: int, res_z: int, b_min, b_max,
                 transform: np.ndarray | None = None):
     """Dense [3, resX, resY, resZ] world-coordinate grid + index->world

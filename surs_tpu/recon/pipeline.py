@@ -18,12 +18,14 @@ from __future__ import annotations
 
 from typing import Callable, Dict, Optional, Tuple
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..models.surs_net import SuRSNet
-from .grid import grid_matrix
+from .grid import grid_matrix, require_diagonal
 from .evaluator import (eval_grid_octree, eval_grid_octree_hostloop,
                         eval_grid_octree_mono, eval_grid_dense,
                         silhouette_init_masks)
@@ -157,7 +159,8 @@ class Reconstructor:
         queried (occupancy 0)."""
         mat = grid_matrix((resolution,) * 3, b_min, b_max)
         if transform is not None:
-            mat = np.asarray(transform) @ mat
+            mat = require_diagonal(np.asarray(transform) @ mat,
+                                   "Reconstructor.evaluate(transform=)")
         if not use_octree and self.cols_weights is not None:
             from .evaluator import (dense_cols_separable,
                                     eval_grid_dense_cols)
@@ -183,7 +186,10 @@ class Reconstructor:
                     stats_out["queries"] = resolution ** 3
                 return sdf_hr, sdf_lr, mat
         init_dirty = None
-        if silhouette is not None:
+        # only the octree evaluators consume init_dirty — computing the
+        # per-level masks on the dense path would pay one compiled mask
+        # program + dispatch per level for nothing
+        if silhouette is not None and use_octree:
             init_dirty = silhouette_init_masks(
                 silhouette, np.asarray(calib), resolution, mat,
                 init_resolution=init_resolution,
@@ -310,6 +316,15 @@ class Reconstructor:
 
         if mc_backend in ("device", "auto"):
             from .tetra_device import marching_tetrahedra_device_begin
+            # filter to this backend's kwargs (mirrors the sharded
+            # branch) so one mc_caps dict can be shared across backends
+            # — a stray 'mesh'/'axis' key would otherwise raise
+            # TypeError, which the 'auto' host fallback below does NOT
+            # catch (it only catches capacity ValueErrors)
+            allowed = ("algorithm", "max_cells", "max_tris", "max_verts",
+                       "max_pts", "cell_chunk")
+            dev_caps = {k: v for k, v in (mc_caps or {}).items()
+                        if k in allowed}
             try:
                 # distinct bucket tags: the HR/LR surfaces differ in
                 # size systematically, so sharing one speculative
@@ -323,10 +338,10 @@ class Reconstructor:
                 # decoded/written on the host
                 res_hr = marching_tetrahedra_device_begin(
                     sdf_hr, level, bucket_tag="hr", defer_sync=True,
-                    **(mc_caps or {}))
+                    **dev_caps)
                 res_lr = marching_tetrahedra_device_begin(
                     sdf_lr, level, bucket_tag="lr", defer_sync=True,
-                    **(mc_caps or {}))
+                    **dev_caps)
                 fin_hr = res_hr()
                 fin_lr = res_lr()
                 yield to_world(*fin_hr())
@@ -370,8 +385,9 @@ class Reconstructor:
             num_samples=cfg.num_samples, threshold=cfg.threshold,
             init_resolution=cfg.octree_init_resolution,
             silhouette=silhouette)
-        path_hr = save_path[:-4] + "_HR.obj"
-        path_lr = save_path[:-4] + "_LR.obj"
+        stem = os.path.splitext(save_path)[0]
+        path_hr = stem + "_HR.obj"
+        path_lr = stem + "_LR.obj"
         paths = [path_hr, path_lr]
         from ..config import resolve_auto
         mc_caps = {"algorithm": resolve_auto(
