@@ -248,12 +248,20 @@ def load_torch_checkpoint(path: str, params, strict: bool = True,
 
 def load_params(cfg, model):
     """Resolve params for eval: orbax train-state dir, torch checkpoint
-    file, or random init (in that order)."""
+    file, or random init (in that order).
+
+    For batch-norm models the return value is the full variables dict
+    ``{'params': ..., 'batch_stats': ...}`` — the running statistics
+    live outside 'params' in Flax and the eval forward needs them
+    (Reconstructor threads either form). Group-norm models (the
+    reference default) return the bare params tree as before.
+    """
     import os
     from ..train.optim import make_optimizer
     from ..train.step import create_train_state
     from ..train.checkpoint import CheckpointManager
 
+    has_bn = cfg.norm == "batch"
     rng = np.random.default_rng(cfg.seed)
     S = cfg.loadSize // 2
     sample = {
@@ -268,14 +276,20 @@ def load_params(cfg, model):
         "calibs": jnp.asarray(
             np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32))[None],
     }
-    params = jax.jit(
+    variables = jax.jit(
         lambda k: model.init(k, **sample, train=True))(
-            jax.random.PRNGKey(cfg.seed))["params"]
+            jax.random.PRNGKey(cfg.seed))
+    params = variables["params"]
+
+    def pack(params, stats):
+        if has_bn:
+            return {"params": params, "batch_stats": stats}
+        return params
 
     path = cfg.load_netG_checkpoint_path
     if not path:
         print("WARNING: no checkpoint given — using random init")
-        return params
+        return pack(params, variables.get("batch_stats"))
     if os.path.isdir(path):
         # an orbax train-state dir: .../<ckpt_root>/<name>/netG_{latest,
         # epoch_N}
@@ -288,7 +302,15 @@ def load_params(cfg, model):
         epoch = int(tag[len("netG_epoch_"):]) \
             if tag.startswith("netG_epoch_") else None
         state = mgr.restore(state, epoch)
-        return state.params
+        return pack(state.params, state.batch_stats)
+    if has_bn:
+        # running_mean/running_var live in the checkpoint too; importing
+        # without them would silently eval on untrained statistics
+        params, stats, n = load_torch_checkpoint(
+            path, params, strict=False,
+            batch_stats=variables["batch_stats"])
+        print(f"imported {n} tensors from torch checkpoint {path}")
+        return pack(params, stats)
     params, n = load_torch_checkpoint(path, params, strict=False)
     print(f"imported {n} tensors from torch checkpoint {path}")
     return params

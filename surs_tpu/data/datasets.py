@@ -103,7 +103,12 @@ class TrainDataset:
         nrm = uv_normal[uv_mask]
         n = self.cfg.num_sample_color
         if n:
-            sel = rng.choice(pts.shape[0], size=n, replace=False)
+            # without replacement like the reference's random.sample
+            # (TrainDataset_LR_v2.py:478) — but degrade to replacement
+            # when the UV mask covers fewer texels than requested
+            # instead of raising (the reference would crash there)
+            sel = rng.choice(pts.shape[0], size=n,
+                             replace=pts.shape[0] < n)
             pts, cols, nrm = pts[sel], cols[sel], nrm[sel]
         offset = rng.normal(0.0, self.cfg.sigma, (pts.shape[0], 1))
         samples = (pts + offset * nrm).T.astype(np.float32)
@@ -232,9 +237,16 @@ class TrainDataset:
         """Pick a random precomputed draw (apps/precompute_samples.py)."""
         if not self.sample_cache_dir:
             return None
-        import glob
-        paths = sorted(glob.glob(os.path.join(
-            self.sample_cache_dir, f"{subject}_*.npz")))
+        # the per-subject path list is static — memoize it so the data
+        # hot path doesn't re-scan the cache directory on every item
+        if not hasattr(self, "_sample_cache_paths"):
+            self._sample_cache_paths = {}
+        paths = self._sample_cache_paths.get(subject)
+        if paths is None:
+            import glob
+            paths = sorted(glob.glob(os.path.join(
+                self.sample_cache_dir, f"{subject}_*.npz")))
+            self._sample_cache_paths[subject] = paths
         if not paths:
             return None
         pick = paths[0] if not self.is_train else \

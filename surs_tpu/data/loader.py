@@ -13,8 +13,13 @@ dicts; batches stack array-valued keys along axis 0. Two overlap modes:
     deterministic epoch order, so results are identical to the
     single-process loader. Uses fork (default) so the dataset and its
     in-RAM mesh cache are inherited copy-on-write; workers must only do
-    host work (they never touch jax, and fork happens lazily at first
-    iteration).
+    host work (they never touch jax). The pool forks EAGERLY at
+    construction — forking lazily at first iteration would happen after
+    the caller has initialized the JAX runtime (train/loop.py builds
+    the loader first, then the train state), and forking a process
+    whose runtime threads hold locks can deadlock the child. One pool
+    serves every epoch; per-epoch index lists travel through the task
+    queue, tagged so an abandoned epoch's stale results are discarded.
 """
 
 from __future__ import annotations
@@ -62,6 +67,37 @@ class DataLoader:
         self.num_workers = max(0, num_workers)
         self.mp_context = mp_context
         self._epoch = 0
+        self._procs: List = []
+        if self.num_workers > 0:
+            # eager fork: see module docstring (must precede JAX init)
+            ctx = mp.get_context(self.mp_context)
+            self._in_q = ctx.Queue()
+            self._out_q = ctx.Queue(maxsize=max(2, self.prefetch))
+            self._procs = [
+                ctx.Process(target=self._worker_proc,
+                            args=(self._in_q, self._out_q), daemon=True)
+                for _ in range(self.num_workers)]
+            for p in self._procs:
+                p.start()
+
+    def close(self):
+        """Shut the worker pool down (idempotent)."""
+        for _ in self._procs:
+            try:
+                self._in_q.put_nowait(None)
+            except Exception:
+                pass
+        for p in self._procs:
+            p.terminate()
+        for p in self._procs:
+            p.join(timeout=5)
+        self._procs = []
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def _get(self, i: int):
         if not self.resample_on_error:
@@ -87,49 +123,37 @@ class DataLoader:
         return [idx[i * self.batch_size:(i + 1) * self.batch_size].tolist()
                 for i in range(nb)]
 
-    def _worker_proc(self, batches, in_q, out_q):
-        """Worker-process loop: build whole batches, push (index, batch)."""
+    def _worker_proc(self, in_q, out_q):
+        """Persistent worker loop: tasks are (tag, bi, idx_list); None
+        shuts the worker down. Results echo (tag, bi, batch_or_exc)."""
         while True:
-            bi = in_q.get()
-            if bi is None:
+            task = in_q.get()
+            if task is None:
                 return
+            tag, bi, idxs = task
             try:
-                out_q.put((bi, collate([self._get(i)
-                                        for i in batches[bi]])))
+                out_q.put((tag, bi, collate([self._get(i)
+                                             for i in idxs])))
             except Exception as e:
-                out_q.put((bi, e))
+                out_q.put((tag, bi, e))
 
     def _iter_processes(self, batches) -> Iterator[Dict]:
-        ctx = mp.get_context(self.mp_context)
-        in_q = ctx.Queue()
-        out_q = ctx.Queue(maxsize=max(2, self.prefetch))
-        nw = min(self.num_workers, max(1, len(batches)))
-        procs = [ctx.Process(target=self._worker_proc,
-                             args=(batches, in_q, out_q), daemon=True)
-                 for _ in range(nw)]
-        for p in procs:
-            p.start()
-        try:
-            for bi in range(len(batches)):
-                in_q.put(bi)
-            for _ in range(nw):
-                in_q.put(None)
-            pending: Dict[int, Dict] = {}
-            nxt = 0
-            while nxt < len(batches):
-                while nxt not in pending:
-                    bi, item = out_q.get()
-                    pending[bi] = item
-                item = pending.pop(nxt)
-                nxt += 1
-                if isinstance(item, Exception):
-                    raise item
-                yield item
-        finally:
-            for p in procs:
-                p.terminate()
-            for p in procs:
-                p.join(timeout=5)
+        tag = self._epoch           # discriminates abandoned epochs
+        for bi, idxs in enumerate(batches):
+            self._in_q.put((tag, bi, list(idxs)))
+        pending: Dict[int, Dict] = {}
+        nxt = 0
+        while nxt < len(batches):
+            while nxt not in pending:
+                rtag, bi, item = self._out_q.get()
+                if rtag != tag:
+                    continue        # stale result of an abandoned epoch
+                pending[bi] = item
+            item = pending.pop(nxt)
+            nxt += 1
+            if isinstance(item, Exception):
+                raise item
+            yield item
 
     def __iter__(self) -> Iterator[Dict]:
         batches = self._index_batches()
@@ -145,16 +169,30 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            # a plain q.put() on a full queue never observes `stop`, so
+            # a consumer that abandons the iterator (e.g. max_iters
+            # early return) would leak this thread blocked forever
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for b in batches:
                     if stop.is_set():
                         return
-                    q.put(collate([self._get(i) for i in b]))
-            except Exception as e:  # surface loader errors to the consumer
-                q.put(e)
+                    if not put_or_stop(collate([self._get(i)
+                                                for i in b])):
+                        return
+            except Exception as e:  # surface loader errors to consumer
+                put_or_stop(e)
             finally:
-                q.put(None)
+                put_or_stop(None)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

@@ -80,8 +80,16 @@ class Reconstructor:
         self.feature_pack = feature_pack
         self._cache: Dict = {}
 
+        def variables(params):
+            # params may be a bare 'params' tree or a full variables
+            # dict carrying 'batch_stats' (batch-norm eval: Flax keeps
+            # running statistics outside 'params' and the encode
+            # forward needs the collection — compat.load_params returns
+            # the dict form for norm='batch')
+            return params if "params" in params else {"params": params}
+
         def encode(params, images):
-            return model.apply({"params": params}, images, train=False,
+            return model.apply(variables(params), images, train=False,
                                method=SuRSNet.encode)
         self._encode = jax.jit(encode)
 
@@ -92,7 +100,7 @@ class Reconstructor:
                                        ctx["feat_hr"], pts, ctx["calib"])
             else:
                 hr, lr = model.apply(
-                    {"params": ctx["weights"]}, ctx["feats_lr"],
+                    variables(ctx["weights"]), ctx["feats_lr"],
                     ctx["feat_hr"], pts, ctx["calib"],
                     method=SuRSNet.query)
             return hr[0], lr[0]

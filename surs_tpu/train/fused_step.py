@@ -37,6 +37,11 @@ def make_fused_train_step(model: SuRSNet, optimizer, block_n: int = 512,
     if model.norm == "batch":
         raise ValueError("fused train step does not thread batch_stats; "
                          "use make_train_step for norm='batch'")
+    if model.num_views != 1:
+        raise ValueError("fused train step evaluates the point MLPs on "
+                         "flat [B*V, N] rows and cannot reproduce the "
+                         "mid-MLP view fusion (SurfaceClassifier); use "
+                         "make_train_step for num_views > 1")
     op = make_fused_dual_mlp_train_ad(block_n=block_n, interpret=interpret,
                                       use_pallas=use_pallas)
 

@@ -36,19 +36,23 @@ def batch_to_device(batch: Dict, quantize_images: bool = False
     reference's reshape_multiview_tensors / reshape_sample_tensor
     (lib/train_util.py:14-51).
 
-    ``quantize_images``: ship images as uint8 (the augmented pixels come
-    from 8-bit sources, so round((x+1)*127.5) is lossless) — 4x less
-    host->device traffic; the train steps normalize back on device. On
-    a tunneled host link the f32 image upload otherwise dominates step
-    time (25 MB/batch at loadSize 512).
+    ``quantize_images``: ship images as uint8 — 4x less host->device
+    traffic; the train steps normalize back on device. On a tunneled
+    host link the f32 image upload otherwise dominates step time
+    (25 MB/batch at loadSize 512). The mapping k = round(x*127) + 127
+    is symmetric: EXACT at -1, 0 and +1 — masked-out background pixels
+    (x = 0 after mask multiply, the majority of the image) round-trip
+    with no bias, matching the eval path; everything else quantizes
+    within 1/254 (a centered 127.5 scale would instead shift the whole
+    background by +1/255, a systematic train/eval skew).
     """
     img_lr = np.asarray(batch["img_LR"])
     img_hr = np.asarray(batch["img_HR"])
     if quantize_images:
-        img_lr = np.clip(np.rint((img_lr + 1.0) * 127.5), 0,
-                         255).astype(np.uint8)
-        img_hr = np.clip(np.rint((img_hr + 1.0) * 127.5), 0,
-                         255).astype(np.uint8)
+        img_lr = np.clip(np.rint(img_lr * 127.0) + 127.0, 0,
+                         254).astype(np.uint8)
+        img_hr = np.clip(np.rint(img_hr * 127.0) + 127.0, 0,
+                         254).astype(np.uint8)
     calib = np.asarray(batch["calib"])
     pts_lr = np.asarray(batch["samples_LR"])
     pts_hr = np.asarray(batch["samples_HR"])
@@ -89,6 +93,7 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
     state = create_train_state(model, optimizer, jax.random.PRNGKey(cfg.seed),
                                init_batch)
     if (getattr(cfg, "fused_train", False) and cfg.norm != "batch"
+            and cfg.num_views == 1
             and jax.default_backend() != "cpu"):
         # TPU default: route the point-MLP stage through the Pallas
         # kernel (custom_vjp; gradient-parity pinned by
@@ -146,6 +151,12 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
             if idx % cfg.freq_save == 0 and idx != 0:
                 ckpt.save(state, epoch)
             if idx % cfg.freq_save_ply == 0:
+                # reference quirk preserved verbatim
+                # (apps/train_SuRS.py:166-184): res_hr — the fine-MLP
+                # predictions, which the model evaluates at points_LR —
+                # is plotted onto the points_HR coordinates. Misleading
+                # for visual QC, but it is exactly what the reference
+                # dumps, and these PLYs exist for parity.
                 base = os.path.join(cfg.results_path, cfg.name)
                 pts = np.asarray(batch["points_hr"][0]).T
                 save_samples_truncted_prob(
@@ -167,6 +178,11 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
         ckpt.save(state, epoch)
 
         if not cfg.no_gen_mesh:
+            # batch-norm models keep running stats outside 'params';
+            # the eval-mode encode needs the full variables dict
+            gen_params = (state.params if state.batch_stats is None else
+                          {"params": state.params,
+                           "batch_stats": state.batch_stats})
             print("generate mesh (test) ...")
             for gen_idx in range(cfg.num_gen_mesh_test):
                 data = test_dataset[gen_idx]
@@ -174,7 +190,7 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
                 save_path = os.path.join(
                     cfg.results_path, cfg.name,
                     f"test_eval_epoch{epoch}_{data['name']}.obj")
-                gen_mesh(cfg, model, state.params, data, save_path,
+                gen_mesh(cfg, model, gen_params, data, save_path,
                          use_octree=cfg.use_octree)
             print("generate mesh (train) ...")
             train_dataset.is_train = False
@@ -184,6 +200,6 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
                 save_path = os.path.join(
                     cfg.results_path, cfg.name,
                     f"train_eval_epoch{epoch}_{data['name']}.obj")
-                gen_mesh(cfg, model, state.params, data, save_path,
+                gen_mesh(cfg, model, gen_params, data, save_path,
                          use_octree=cfg.use_octree)
             train_dataset.is_train = True

@@ -53,6 +53,13 @@ def lr_for_epoch(base_lr: float, epoch: int, schedule: Sequence[int],
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected learning-rate hyperparameter in-place-ly."""
-    opt_state.hyperparams["learning_rate"] = lr
+    """Update the injected learning-rate hyperparameter in-place-ly.
+
+    The leaf must keep its strong f32 dtype: optax initializes it as a
+    float32 array, and writing a weak-typed Python float would change
+    the train step's abstract signature — forcing a full recompile at
+    the first epoch-boundary decay (minutes on remote backends), which
+    is exactly what hyperparameter injection exists to avoid."""
+    import jax.numpy as jnp
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
     return opt_state

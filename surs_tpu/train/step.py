@@ -21,11 +21,12 @@ from ..models.surs_net import SuRSNet
 
 def denormalize_images(batch):
     """Device-side cast for uint8-shipped images (see batch_to_device):
-    x/127.5 - 1 reproduces the host's 8-bit -> [-1, 1] normalization."""
+    (k - 127) / 127 inverts the host's symmetric [-1, 1] quantization —
+    exact at -1, 0 (masked background) and +1."""
     out = dict(batch)
     for k in ("images_lr", "images_hr"):
         if out[k].dtype == jnp.uint8:
-            out[k] = out[k].astype(jnp.float32) / 127.5 - 1.0
+            out[k] = (out[k].astype(jnp.float32) - 127.0) / 127.0
     return out
 
 

@@ -160,3 +160,30 @@ def test_resblock_and_tail_mapping():
     got = np.asarray(
         new_params["super_resolution"]["body1_0"]["conv0"]["kernel"])
     np.testing.assert_array_equal(got, w.transpose(2, 3, 1, 0))
+
+
+def test_batch_norm_eval_threads_running_stats(rng):
+    """load_params returns the full variables dict for norm='batch' and
+    the Reconstructor's encode/query accept it — batch-norm eval runs
+    on the imported running statistics instead of failing (or silently
+    using none)."""
+    import jax
+    import numpy as np
+    from surs_tpu.config import SuRSConfig
+    from surs_tpu.compat.torch_import import load_params
+    from surs_tpu.models import surs_net_from_config
+    from surs_tpu.recon.pipeline import Reconstructor
+
+    cfg = SuRSConfig(loadSize=32, num_stack_lr=2, norm="batch",
+                     load_netG_checkpoint_path=None)
+    model = surs_net_from_config(cfg)
+    params = load_params(cfg, model)
+    assert "batch_stats" in params      # variables dict, not bare tree
+    rec = Reconstructor(model)
+    img = np.asarray(rng.standard_normal((1, 16, 16, 3)), np.float32)
+    _, feats_lr, feat_hr = rec.encode(params, img)
+    assert np.isfinite(np.asarray(feat_hr)).all()
+    calib = np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32)[None]
+    hr, lr = rec.query_points(params, feats_lr, feat_hr, calib,
+                              np.zeros((3, 4), np.float32))
+    assert np.isfinite(np.asarray(hr)).all()

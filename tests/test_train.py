@@ -143,10 +143,12 @@ def test_checkpoint_roundtrip(tmp_path, rng):
     assert int(restored.step) == 1
 
 
-def test_uint8_image_wire_format_lossless():
+def test_uint8_image_wire_format():
     """batch_to_device(quantize_images=True) + the device-side
-    denormalization reproduces the f32 images exactly for 8-bit-sourced
-    pixels (the wire format is 4x smaller)."""
+    denormalization: symmetric quantization within 1/254 everywhere and
+    EXACT at -1, 0 (masked background — the eval path sees exactly 0
+    there, so any bias would be a systematic train/eval skew) and +1.
+    The wire format is 4x smaller than f32."""
     import numpy as np
     import jax.numpy as jnp
     from surs_tpu.train.loop import batch_to_device
@@ -155,6 +157,8 @@ def test_uint8_image_wire_format_lossless():
     rng = np.random.default_rng(0)
     k = rng.integers(0, 256, (1, 8, 8, 3))
     img = (k / 255.0 * 2.0 - 1.0).astype(np.float32)
+    img[0, :4, :4, :] = 0.0          # mask-multiplied background
+    img[0, 4, 4, :] = [-1.0, 0.0, 1.0]
     raw = {"img_LR": img, "img_HR": img.copy(),
            "calib": np.eye(4, dtype=np.float32)[None],
            "samples_LR": np.zeros((1, 3, 4), np.float32),
@@ -163,6 +167,7 @@ def test_uint8_image_wire_format_lossless():
            "labels_HR": np.zeros((1, 1, 4), np.float32)}
     b = batch_to_device(raw, quantize_images=True)
     assert b["images_lr"].dtype == jnp.uint8
-    d = denormalize_images(b)
-    np.testing.assert_allclose(np.asarray(d["images_lr"]), img,
-                               atol=1e-6)
+    d = np.asarray(denormalize_images(b)["images_lr"])
+    np.testing.assert_allclose(d, img, atol=0.5 / 127.0)
+    np.testing.assert_array_equal(d[0, :4, :4, :], 0.0)
+    np.testing.assert_array_equal(d[0, 4, 4, :], [-1.0, 0.0, 1.0])
