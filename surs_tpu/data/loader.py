@@ -17,19 +17,79 @@ dicts; batches stack array-valued keys along axis 0. Two overlap modes:
     construction — forking lazily at first iteration would happen after
     the caller has initialized the JAX runtime (train/loop.py builds
     the loader first, then the train state), and forking a process
-    whose runtime threads hold locks can deadlock the child. One pool
-    serves every epoch; per-epoch index lists travel through the task
-    queue, tagged so an abandoned epoch's stale results are discarded.
+    whose runtime threads hold locks can deadlock the child. If the
+    runtime IS already initialized when the pool is built, fork is no
+    longer safe (observed: children deadlock with 0 CPU before reaching
+    Python) — the pool falls back to spawn with a warning; spawned
+    workers re-import and receive a pickled copy of the dataset instead
+    of the copy-on-write pages. One pool serves every epoch; per-epoch
+    index lists travel through the task queue, tagged so an abandoned
+    epoch's stale results are discarded.
 """
 
 from __future__ import annotations
 
 import multiprocessing as mp
 import queue
+import sys
 import threading
+import warnings
 from typing import Dict, Iterator, List, Sequence
 
 import numpy as np
+
+
+def _fork_hazardous() -> bool:
+    """True when the JAX runtime has already initialized a backend in
+    this process. Forking then duplicates a process whose XLA/PJRT
+    threads may hold locks the child can never release — observed as a
+    hard child deadlock (0 CPU, never reaches Python) even with the CPU
+    backend, and reliably with the remote-TPU plugin. The eager-fork
+    contract (module docstring) avoids this by building the loader
+    before the first JAX op; when a caller builds it after, the pool
+    falls back to spawn instead of gambling."""
+    if sys.modules.get("jax") is None:
+        return False
+    try:
+        from jax._src import xla_bridge
+        return bool(xla_bridge._backends)
+    except Exception:
+        return False
+
+
+def _get_item(dataset, i: int, resample_on_error: bool, seed: int,
+              max_retries: int):
+    """Fetch item ``i``, optionally resampling on error (the
+    reference's BaseDataset failure-recovery contract)."""
+    if not resample_on_error:
+        return dataset[i]
+    rng = np.random.default_rng(seed * 1000003 + i)
+    for _ in range(max_retries):
+        try:
+            return dataset[i]
+        except Exception:
+            i = int(rng.integers(len(dataset)))
+    return dataset[i]  # final attempt surfaces the error
+
+
+def _worker_loop(dataset, resample_on_error: bool, seed: int,
+                 max_retries: int, in_q, out_q):
+    """Persistent worker-process loop: tasks are (tag, bi, idx_list);
+    None shuts the worker down. Results echo (tag, bi, batch_or_exc).
+    Module-level (not a DataLoader method) so spawn contexts pickle
+    only the dataset + scalars, never the loader with its Process
+    handles."""
+    while True:
+        task = in_q.get()
+        if task is None:
+            return
+        tag, bi, idxs = task
+        try:
+            out_q.put((tag, bi, collate([
+                _get_item(dataset, i, resample_on_error, seed,
+                          max_retries) for i in idxs])))
+        except Exception as e:
+            out_q.put((tag, bi, e))
 
 
 def collate(items: Sequence[Dict]) -> Dict:
@@ -70,12 +130,22 @@ class DataLoader:
         self._procs: List = []
         if self.num_workers > 0:
             # eager fork: see module docstring (must precede JAX init)
-            ctx = mp.get_context(self.mp_context)
+            ctx_name = self.mp_context
+            if ctx_name == "fork" and _fork_hazardous():
+                warnings.warn(
+                    "DataLoader: the JAX runtime is already initialized; "
+                    "fork workers can deadlock in the child. Using spawn "
+                    "instead (build the loader before the first JAX op, "
+                    "or pass mp_context explicitly, to override).")
+                ctx_name = "spawn"
+            ctx = mp.get_context(ctx_name)
             self._in_q = ctx.Queue()
             self._out_q = ctx.Queue(maxsize=max(2, self.prefetch))
             self._procs = [
-                ctx.Process(target=self._worker_proc,
-                            args=(self._in_q, self._out_q), daemon=True)
+                ctx.Process(target=_worker_loop,
+                            args=(self.dataset, self.resample_on_error,
+                                  self.seed, self.max_retries,
+                                  self._in_q, self._out_q), daemon=True)
                 for _ in range(self.num_workers)]
             for p in self._procs:
                 p.start()
@@ -100,15 +170,8 @@ class DataLoader:
             pass
 
     def _get(self, i: int):
-        if not self.resample_on_error:
-            return self.dataset[i]
-        rng = np.random.default_rng(self.seed * 1000003 + i)
-        for _ in range(self.max_retries):
-            try:
-                return self.dataset[i]
-            except Exception:
-                i = int(rng.integers(len(self.dataset)))
-        return self.dataset[i]  # final attempt surfaces the error
+        return _get_item(self.dataset, i, self.resample_on_error,
+                         self.seed, self.max_retries)
 
     def __len__(self):
         n = len(self.dataset)
@@ -122,20 +185,6 @@ class DataLoader:
         nb = len(self)
         return [idx[i * self.batch_size:(i + 1) * self.batch_size].tolist()
                 for i in range(nb)]
-
-    def _worker_proc(self, in_q, out_q):
-        """Persistent worker loop: tasks are (tag, bi, idx_list); None
-        shuts the worker down. Results echo (tag, bi, batch_or_exc)."""
-        while True:
-            task = in_q.get()
-            if task is None:
-                return
-            tag, bi, idxs = task
-            try:
-                out_q.put((tag, bi, collate([self._get(i)
-                                             for i in idxs])))
-            except Exception as e:
-                out_q.put((tag, bi, e))
 
     def _iter_processes(self, batches) -> Iterator[Dict]:
         tag = self._epoch           # discriminates abandoned epochs

@@ -178,6 +178,21 @@ def test_loader_process_workers_resample_and_errors():
         list(dl)
 
 
+def test_loader_fork_fallback_warns_when_jax_initialized():
+    """Building a fork worker pool after the JAX runtime initialized
+    must fall back to spawn (fork children can deadlock inheriting XLA
+    runtime threads' locks) and say so."""
+    import jax.numpy as jnp
+    float(jnp.zeros(()).sum())  # force backend initialization
+    with pytest.warns(UserWarning, match="spawn"):
+        dl = DataLoader(_ToyDataset(), batch_size=4, shuffle=False,
+                        num_workers=1)
+    try:
+        assert len(list(dl)) == 2  # the spawn pool actually works
+    finally:
+        dl.close()
+
+
 def test_sample_surface_colors(rng):
     from surs_tpu.data.sampling import sample_surface_colors
     mesh = cube_mesh(half=1.0)

@@ -415,17 +415,44 @@ def test_rect_pair_compaction_matches_flat(monkeypatch):
 
 def test_emit_pack_paths_agree():
     """The packed 2-stream emit path (n_vid <= 2^21, the production
-    cubes configuration) and the 3-stream path (large tets capacities)
-    produce the same mesh as the host reference."""
+    cubes configuration) and the 3-stream fallback (large tets
+    capacities) produce the same mesh as the host reference.
+
+    Both cases call _march_core directly: the public wrapper buckets
+    max_pts down to the measured crossing-point count, so a large
+    max_pts passed through it would silently re-test the packed path
+    (n_vid = n_slots * bucketed_pts stays < 2^21)."""
+    from surs_tpu.recon import tetra_device as td
     vol = sphere_vol(16, (7.5, 7.5, 7.5), 5.0)
     vh, fh = mt_host(vol, 0.5)
-    common = dict(max_cells=1 << 12, max_tris=1 << 16,
-                  max_verts=1 << 16, cell_chunk=1 << 9)
+    n_slots = td._ALGOS["tets"]["n_slots"]
+    deltas = td._ALGOS["tets"]["deltas"]
+
+    def run_core(max_pts):
+        out = td._march_core(
+            np.asarray(vol, np.float32).reshape(-1), 0.5, (16, 16, 16),
+            max_cells=1 << 12, max_pts=max_pts, max_tris=1 << 15,
+            max_verts=1 << 14, cell_chunk=1 << 9)
+        (vid_of, t_of, w0, w1, compact_p,
+         n_verts, n_faces, _, _, n_pts) = out
+        nv, nf = int(n_verts), int(n_faces)
+        assert int(n_pts) <= max_pts
+        vid = np.asarray(vid_of)[:nv]
+        t = np.asarray(t_of)[:nv]
+        comp = np.asarray(compact_p)
+        verts = td.replay_wire_vertices(comp[vid % max_pts],
+                                        vid // max_pts, t, deltas,
+                                        16, 16)
+        faces = td.unpack_wire_faces(
+            np.asarray(w0)[:nf].view(np.uint32),
+            np.asarray(w1)[:nf].view(np.uint32))
+        return verts, faces
+
     # packed: 7 * 2^12 vids < 2^21
-    vd, fd = marching_tetrahedra_device(vol, 0.5, max_pts=1 << 12,
-                                        **common)
+    assert n_slots * (1 << 12) <= (1 << 21)
+    vd, fd = run_core(1 << 12)
     assert_same_mesh(vh, fh, vd, fd)
     # unpacked: 7 * 2^19 vids > 2^21 forces the 3-stream emit path
-    vd2, fd2 = marching_tetrahedra_device(vol, 0.5, max_pts=1 << 19,
-                                          **common)
+    assert n_slots * (1 << 19) > (1 << 21)
+    vd2, fd2 = run_core(1 << 19)
     assert_same_mesh(vh, fh, vd2, fd2)
