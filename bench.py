@@ -47,7 +47,37 @@ def log(msg):
 BASELINE_QPS = float(os.environ.get("SURS_BASELINE_QPS", "15811"))
 
 
+def probe_device(timeout_s: int = 900) -> bool:
+    """Fail fast with a clear message instead of hanging forever when
+    the remote-TPU tunnel is down (observed: a dead tunnel blocks the
+    first device op indefinitely, with no exception). A trivial jit op
+    runs in a watchdog subprocess: a healthy-but-cold service answers
+    in seconds-to-minutes, a dead tunnel never answers. Skip with
+    SURS_BENCH_PROBE=0 or under a forced-CPU run."""
+    if os.environ.get("SURS_BENCH_PROBE", "1") == "0" \
+            or os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return True
+    import subprocess
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jax.jit(lambda a: a*2)(jnp.ones((8,8))).sum()))")
+    log(f"probing device reachability (watchdog {timeout_s}s)...")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        ok = r.returncode == 0
+    except subprocess.TimeoutExpired:
+        ok = False
+    if not ok:
+        log("DEVICE UNREACHABLE: the probe op did not complete — the "
+            "remote TPU tunnel appears down. Refusing to start a bench "
+            "that would hang; re-run when the device answers "
+            "(SURS_BENCH_PROBE=0 skips this probe).")
+    return ok
+
+
 def main():
+    if not probe_device():
+        sys.exit(2)
     import jax
     from surs_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
