@@ -715,11 +715,14 @@ def _kernel_runs(x_lr_ref, x_hrk_ref, *refs, rb: int, zb: int, c_hr: int,
                            compute_dtype, pred=pred_lr, kf=kf,
                            expand=tile_runs)
     pred_hr = jax.nn.sigmoid(logit_hr[:, :1])
-    # one [1, zb*rb] output row per block (a 1-D out block would need
-    # the XLA T(1024) tiling; the [zb*rb, 1] -> row relayout is the
-    # same sublane->lane move the cols kernel does)
-    out_hr_ref[0, :] = pred_hr[:, 0]
-    out_lr_ref[0, :] = pred_lr[:, 0]
+    # one [1, 1, zb*rb] output row per block; the out arrays are rank-3
+    # so the block's LAST TWO dims (1, zb*rb) equal the array dims —
+    # Mosaic's block-mapping rule rejects a (1, zb*rb) block on a rank-2
+    # array (second-minor block dim 1 is neither 8-divisible nor full).
+    # The [zb*rb, 1] -> row relayout is the same sublane->lane move the
+    # cols kernel does.
+    out_hr_ref[0, 0, :] = pred_hr[:, 0]
+    out_lr_ref[0, 0, :] = pred_lr[:, 0]
 
 
 def fused_dual_mlp_runs(x_lr: jnp.ndarray, x_hr: jnp.ndarray,
@@ -798,7 +801,7 @@ def fused_dual_mlp_runs(x_lr: jnp.ndarray, x_hr: jnp.ndarray,
     for a in weight_arrays:
         in_specs.append(pl.BlockSpec(a.shape, lambda i: (0, 0),
                                      memory_space=pltpu.VMEM))
-    out_specs = [pl.BlockSpec((1, zb * rb), lambda i: (i, 0),
+    out_specs = [pl.BlockSpec((1, 1, zb * rb), lambda i: (i, 0, 0),
                               memory_space=pltpu.VMEM)] * 2
 
     out_hr, out_lr = pl.pallas_call(
@@ -806,7 +809,7 @@ def fused_dual_mlp_runs(x_lr: jnp.ndarray, x_hr: jnp.ndarray,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
-        out_shape=[jax.ShapeDtypeStruct((NRp // rb, zb * rb),
+        out_shape=[jax.ShapeDtypeStruct((NRp // rb, 1, zb * rb),
                                         jnp.float32)] * 2,
         interpret=interpret,
     )(x_lr_p, x_hrk, *z0_arrays, *weight_arrays)
