@@ -165,7 +165,21 @@ class SuRSConfig:
                                     # active on TPU group-norm configs
                                     # (--no_fused_train opts out; CPU
                                     # always uses the plain XLA step)
-    mask_prune: bool = False        # visual-hull octree pre-pruning
+    mask_prune: bool = True         # visual-hull octree pre-pruning.
+                                    # Default ON: it only engages when
+                                    # the subject ships a mask (the
+                                    # EvalDataset always does), and for
+                                    # a silhouette-consistent mask the
+                                    # output mesh is IDENTICAL — pruned
+                                    # voxels project outside the dilated
+                                    # silhouette, so they are provably
+                                    # outside the visual hull (pinned by
+                                    # tests/test_recon.py::
+                                    # test_mask_prune_mesh_parity);
+                                    # measured 28% faster 512^3 eval on
+                                    # the trained subject (BASELINE.md).
+                                    # --no_mask_prune opts out (e.g. for
+                                    # masks that may clip the subject).
     feature_pack: bool = True       # pack_bilinear'd single-gather
                                     # sampling (fused query path only;
                                     # inert off the Pallas/TPU path)

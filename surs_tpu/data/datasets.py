@@ -121,8 +121,11 @@ class TrainDataset:
     def _get_subjects(self):
         all_subjects = os.listdir(self.RENDER)
         val_path = os.path.join(self.root, "val.txt")
+        # explicit size gate: np.loadtxt warns ("input contained no
+        # data") on the empty val.txt that synthetic datasets ship
         var_subjects = (np.loadtxt(val_path, dtype=str).reshape(-1).tolist()
-                        if os.path.exists(val_path) else [])
+                        if os.path.exists(val_path)
+                        and os.path.getsize(val_path) else [])
         if not var_subjects:
             return sorted(all_subjects)
         if self.is_train:

@@ -270,6 +270,65 @@ def test_silhouette_pruning():
     assert hr[R // 2, R // 2, R // 2] == 1.0
 
 
+def test_mask_prune_mesh_parity():
+    """mask_prune on/off produce IDENTICAL meshes for a silhouette
+    -consistent subject (the mask covers the object's projection): the
+    pruned voxels are provably outside the visual hull, so the level-0.5
+    crossing never moves. This is the semantic basis for defaulting
+    ``mask_prune`` on (config.py)."""
+    from surs_tpu.recon.evaluator import (silhouette_init_masks,
+                                          eval_grid_octree_mono,
+                                          eval_grid_octree_hostloop)
+    from surs_tpu.recon.marching import extract_isosurface
+
+    R, init_res, thr = 32, 8, 0.05
+    mat = grid_matrix((R, R, R), np.array([-0.5] * 3), np.array([0.5] * 3))
+    calib = np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32)[None]
+
+    def smooth_sphere_eval(points, ctx=None):
+        # smooth occupancy: MC vertex positions interpolate, so any
+        # near-surface value perturbation would move the mesh
+        r = jnp.linalg.norm(points, axis=0)
+        occ = jnp.clip(0.5 + (0.35 - r) * 4.0, 0.0, 1.0)
+        occ_lr = jnp.clip(0.5 + (0.30 - r) * 4.0, 0.0, 1.0)
+        return occ, occ_lr
+
+    # silhouette-consistent mask: the sphere (r=0.35) projects to a uv
+    # disc of radius 0.7; a 0.78-radius disc covers it with margin
+    S = 64
+    yy, xx = np.mgrid[:S, :S]
+    cc = (S - 1) / 2
+    disc = ((((xx - cc) ** 2 + (yy - cc) ** 2)
+             < (0.39 * S) ** 2)).astype(np.float32)
+
+    for fn in (eval_grid_octree_mono, eval_grid_octree_hostloop):
+        init = silhouette_init_masks(jnp.asarray(disc), calib, R, mat,
+                                     init_resolution=init_res, dilate=2)
+        hr_m, lr_m = fn(smooth_sphere_eval, R, mat, thr,
+                        init_resolution=init_res, num_samples=128,
+                        init_dirty=init)
+        hr_u, lr_u = fn(smooth_sphere_eval, R, mat, thr,
+                        init_resolution=init_res, num_samples=128)
+        # the mask must actually have pruned something (else the test
+        # proves nothing) — volumes differ away from the surface...
+        assert not np.array_equal(np.asarray(hr_m), np.asarray(hr_u))
+        for masked, unmasked in ((hr_m, hr_u), (lr_m, lr_u)):
+            vm, fm = extract_isosurface(np.asarray(masked), 0.5)
+            vu, fu = extract_isosurface(np.asarray(unmasked), 0.5)
+            # ... but the extracted meshes are identical
+            assert fm.shape == fu.shape and vm.shape == vu.shape
+            np.testing.assert_array_equal(fm, fu)
+            np.testing.assert_allclose(vm, vu, atol=0.0)
+
+
+def test_mask_prune_defaults_on():
+    """The config default takes the measured-faster pruned path on every
+    masked subject; --no_mask_prune is the opt-out (config.py)."""
+    from surs_tpu.config import SuRSConfig, parse_config
+    assert SuRSConfig().mask_prune is True
+    assert parse_config(["--no_mask_prune"]).mask_prune is False
+
+
 def test_octree_hierarchical_compaction_matches_oracle(monkeypatch):
     """Force the two-level (block-summary + group) compaction path — at
     production constants it only engages for lattices >= 256^3 — and pin
