@@ -75,6 +75,54 @@ def probe_device(timeout_s: int = 900) -> bool:
     return ok
 
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def record_staleness(commit: str) -> str:
+    """'' when a benchmark record taken at ``commit`` still describes
+    the shipping pipeline, else a reason string. Fresh means: the
+    commit is known to this repo AND nothing under the pipeline
+    sources (surs_tpu/, apps/) changed between it and the current
+    working tree — lineage alone is not enough (every past commit is
+    an ancestor; what goes stale is the code the record measured)."""
+    import subprocess
+
+    def git(*args):
+        return subprocess.run(["git", *args], cwd=REPO,
+                              capture_output=True, text=True)
+    if not commit:
+        return "no git_commit in record"
+    if git("rev-parse", "--verify", f"{commit}^{{commit}}").returncode:
+        return f"unknown commit {commit}"
+    # diff against the WORKING TREE (not HEAD): uncommitted pipeline
+    # edits stale a record just as surely as committed ones
+    d = git("diff", "--quiet", commit, "--", "surs_tpu", "apps")
+    if d.returncode:
+        return f"pipeline sources changed since {commit}"
+    return ""
+
+
+def load_record(name: str, log, check_commit: bool = True):
+    """Load a benchmark record JSON from the repo root, annotating it
+    with staleness against the current tree. Returns None if absent.
+    ``check_commit=False`` skips the staleness gate for records whose
+    measured pipeline lives outside this tree (the torch-CPU baseline)."""
+    path = os.path.join(REPO, name)
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except Exception:  # noqa: BLE001
+        return None
+    if check_commit:
+        reason = record_staleness(rec.get("git_commit", ""))
+        if reason:
+            rec["stale"] = reason
+            log(f"{name}: STALE record ({reason})")
+    return rec
+
+
 def main():
     if not probe_device():
         sys.exit(2)
@@ -343,24 +391,39 @@ def main():
     if on_tpu:
         train_ms = bench_train_step(cfg, log)
 
-    # trained-subject record (benchmarks/subject_demo.py --json), if the
-    # repo carries one — the measured trained-weight 512^3 numbers
-    trained = None
-    rec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "BENCH_subject.json")
-    if os.path.exists(rec_path):
-        try:
-            with open(rec_path) as f:
-                trained = json.load(f)
-        except Exception:  # noqa: BLE001
-            trained = None
+    # trained-subject record (benchmarks/subject_demo.py), if the repo
+    # carries one — the measured trained-weight 512^3 numbers. A record
+    # predating pipeline-source changes is carried but NOT promoted to
+    # the sec/mesh headline (the round-3 headline was silently 2
+    # commits of extractor rework out of date — VERDICT r3 weak #1).
+    trained = load_record("BENCH_subject.json", log)
 
     t_mesh = t_mesh_random
     mesh_src = "random_weights_in_run_upper_bound"
     if trained and trained.get("gen_mesh_wall_sec") \
             and trained.get("resolution") == cfg.resolution:
-        t_mesh = float(trained["gen_mesh_wall_sec"])
-        mesh_src = "trained_subject_record"
+        if trained.get("stale"):
+            mesh_src = (f"random_weights_in_run_upper_bound; trained "
+                        f"record is stale_record"
+                        f"({trained.get('git_commit', '?')})")
+        else:
+            t_mesh = float(trained["gen_mesh_wall_sec"])
+            mesh_src = "trained_subject_record"
+
+    # pipelined-serving record (benchmarks/serve_bench.py), if present
+    serving = load_record("BENCH_serve.json", log)
+
+    # reference-shaped torch-CPU sec/mesh (benchmarks/baseline_torch.py
+    # --mesh): anchors the end-to-end speedup factor, not just the
+    # query-chunk one. The CPU baseline measures the REFERENCE pipeline
+    # shape, so our source tree cannot stale it — no commit gate.
+    cpu_base = load_record("BENCH_cpu_baseline.json", log,
+                           check_commit=False)
+    vs_mesh = None
+    if cpu_base:
+        cpu_key = f"sec_per_mesh_cpu_{cfg.resolution}"
+        if cpu_base.get(cpu_key):
+            vs_mesh = round(float(cpu_base[cpu_key]) / t_mesh, 1)
 
     result = {
         "metric": "occupancy_queries_per_sec",
@@ -395,6 +458,9 @@ def main():
             "feature_pack": bool(cfg.feature_pack),
             "train_step_ms": train_ms or None,
             "trained_subject": trained,
+            "serving": serving,
+            "vs_baseline_mesh": vs_mesh,
+            "cpu_baseline": cpu_base,
         },
     }
     print(json.dumps(result))

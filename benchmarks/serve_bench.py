@@ -66,3 +66,38 @@ print(f"sequential: {t_seq:.2f}s total, {t_seq / N:.2f}s/subject, "
 print(f"pipelined:  {t_pipe:.2f}s total, {t_pipe / N:.2f}s/subject, "
       f"{60 * N / t_pipe:.1f} subjects/min "
       f"({t_seq / t_pipe:.2f}x)", flush=True)
+
+# merge this resolution's row into the repo-level serving record that
+# bench.py surfaces (extras.serving), stamped with the commit so the
+# bench can flag staleness
+import json
+import subprocess
+repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+rec_path = os.path.join(repo, "BENCH_serve.json")
+rec = {}
+if os.path.exists(rec_path):
+    try:
+        with open(rec_path) as f:
+            rec = json.load(f)
+    except Exception:  # noqa: BLE001
+        rec = {}
+rec["source"] = "benchmarks/serve_bench.py"
+rec["backend"] = jax.default_backend()
+try:
+    rec["git_commit"] = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
+        text=True, cwd=repo).stdout.strip()
+except Exception:  # noqa: BLE001
+    pass
+rec.pop("stale", None)   # re-stamped records are fresh by construction
+rec.setdefault("runs", {})[str(RES)] = {
+    "n_subjects": N, "load_size": LOAD,
+    "sequential_sec_total": round(t_seq, 2),
+    "pipelined_sec_total": round(t_pipe, 2),
+    "sequential_spm": round(60 * N / t_seq, 2),
+    "pipelined_spm": round(60 * N / t_pipe, 2),
+    "speedup": round(t_seq / t_pipe, 3),
+}
+with open(rec_path, "w") as f:
+    json.dump(rec, f, indent=1)
+print(f"wrote {rec_path}", flush=True)
