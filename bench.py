@@ -461,6 +461,9 @@ def main():
             "serving": serving,
             "vs_baseline_mesh": vs_mesh,
             "cpu_baseline": cpu_base,
+            "datafed_train": load_record("BENCH_datafed.json", log),
+            "train_scaling": load_record("BENCH_train_scaling.json",
+                                         log),
         },
     }
     print(json.dumps(result))

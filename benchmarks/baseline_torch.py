@@ -44,9 +44,13 @@ def make_nets(w_scale: float = 1.0):
     scales the random init so the occupancy fields have SPATIAL
     structure (at torch's tiny default scale both sigmoids flatline at
     0.5 and the octree prunes everything in one level — an unrealistic
-    floor; our TPU bench's flax-init random fields query ~1.5% of a
-    512^3 grid, and w_scale is chosen to land the CPU run in the same
-    regime so the sec/mesh comparison is workload-matched)."""
+    floor; at w_scale >= 1 the field is near-noise and the octree
+    queries >75% of the lattice — an unrealistic ceiling). Our TPU
+    bench's flax-init random fields query ~1.5% of a 512^3 grid;
+    measured query fractions here: 8.6% / 40% / 77% / 97% of 128^3 at
+    w_scale 0.3 / 0.6 / 1.0 / 2.0, and the fraction roughly halves per
+    resolution doubling — so the default 0.3 lands 512^3 in the same
+    ~2% regime, keeping the sec/mesh comparison workload-matched."""
     torch.manual_seed(0)
     res_layers = (2, 3, 4)
     feat_lr = torch.randn(1, 256, 128, 128)
@@ -200,7 +204,7 @@ def main():
     if "--mesh" in sys.argv:
         # end-to-end reference-shaped sec/mesh (BASELINE.json north star
         # denominator). Env: MESH_RES (csv, default "256,512"),
-        # MESH_WSCALE (default 6.0 — see make_nets).
+        # MESH_WSCALE (default 0.3 — see make_nets).
         import os
         import subprocess
         sys.path.insert(0, os.path.abspath(os.path.join(
@@ -215,7 +219,7 @@ def main():
                     os.path.abspath(__file__)))).stdout.strip()
         except Exception:  # noqa: BLE001
             pass
-        w_scale = float(os.environ.get("MESH_WSCALE", "6.0"))
+        w_scale = float(os.environ.get("MESH_WSCALE", "0.3"))
         for R in [int(r) for r in
                   os.environ.get("MESH_RES", "256,512").split(",")]:
             run_mesh_baseline(R, w_scale, out)

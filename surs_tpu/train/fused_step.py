@@ -31,9 +31,11 @@ from .step import TrainState, denormalize_images
 
 def make_fused_train_step(model: SuRSNet, optimizer, block_n: int = 512,
                           interpret: bool = False, use_pallas: bool = True,
-                          donate: bool = True):
+                          donate: bool = True, jit: bool = True):
     """Returns jitted ``step(state, batch) -> (state, metrics)`` with the
-    same contract as train/step.make_train_step."""
+    same contract as train/step.make_train_step. ``jit=False`` returns
+    the traceable step itself (for lax.scan chains, mirroring
+    make_train_step)."""
     if model.norm == "batch":
         raise ValueError("fused train step does not thread batch_stats; "
                          "use make_train_step for norm='batch'")
@@ -114,4 +116,6 @@ def make_fused_train_step(model: SuRSNet, optimizer, block_n: int = 512,
         metrics["pred_lr"] = pred_lr
         return new_state, metrics
 
+    if not jit:
+        return step
     return jax.jit(step, donate_argnums=(0,) if donate else ())

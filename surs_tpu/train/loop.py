@@ -76,7 +76,15 @@ def batch_to_device(batch: Dict, quantize_images: bool = False
 
 
 def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
-          yaw_list=None) -> None:
+          yaw_list=None) -> Dict:
+    """Returns a wall-time summary dict: total iterations, wall seconds,
+    host data-wait seconds (loader stalls), step-enqueue seconds (NOT
+    device time — the dispatch is async; wall is the honest end-to-end
+    rate), and checkpoint-save seconds. Lets callers (benchmarks/
+    datafed_train_bench.py) report data-fed throughput without parsing
+    the log lines."""
+    t_train0 = time.time()
+    data_sec = net_sec = save_sec = 0.0
     train_dataset = TrainDataset(cfg, phase="train", yaw_list=yaw_list)
     test_dataset = TrainDataset(cfg, phase="test", yaw_list=yaw_list)
     loader = DataLoader(train_dataset, batch_size=cfg.batch_size,
@@ -133,11 +141,13 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
         iter_data_t = time.time()
         for idx, raw in enumerate(loader):
             iter_start = time.time()
+            data_sec += iter_start - iter_data_t
             batch = batch_to_device(raw, quantize_images=True)
             state, metrics = step_fn(state, batch)
             # only sync on the loss when logging — a per-step device
             # fetch would serialize the async dispatch pipeline
             iter_net = time.time()
+            net_sec += iter_net - iter_start
             if idx % cfg.freq_plot == 0:
                 err = float(metrics["total"])
                 eta = ((iter_net - epoch_start) / (idx + 1)) * len(loader) \
@@ -149,7 +159,9 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
                       f"netT: {iter_net - iter_start:.05f} | "
                       f"ETA: {int(eta // 60):02d}:{int(eta % 60):02d}")
             if idx % cfg.freq_save == 0 and idx != 0:
+                t_s = time.time()
                 ckpt.save(state, epoch)
+                save_sec += time.time() - t_s
             if idx % cfg.freq_save_ply == 0:
                 # reference quirk preserved verbatim
                 # (apps/train_SuRS.py:166-184): res_hr — the fine-MLP
@@ -172,10 +184,17 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
             iter_data_t = time.time()
             iters_done += 1
             if max_iters is not None and iters_done >= max_iters:
+                t_s = time.time()
                 ckpt.save(state, epoch)
+                save_sec += time.time() - t_s
                 profiler.stop()
-                return
+                return {"iters": iters_done,
+                        "wall_sec": time.time() - t_train0,
+                        "data_sec": data_sec, "enqueue_sec": net_sec,
+                        "save_sec": save_sec}
+        t_s = time.time()
         ckpt.save(state, epoch)
+        save_sec += time.time() - t_s
 
         if not cfg.no_gen_mesh:
             # batch-norm models keep running stats outside 'params';
@@ -203,3 +222,7 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
                 gen_mesh(cfg, model, gen_params, data, save_path,
                          use_octree=cfg.use_octree)
             train_dataset.is_train = True
+    profiler.stop()
+    return {"iters": iters_done, "wall_sec": time.time() - t_train0,
+            "data_sec": data_sec, "enqueue_sec": net_sec,
+            "save_sec": save_sec}

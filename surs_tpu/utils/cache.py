@@ -20,7 +20,20 @@ def enable_compilation_cache(path: str | None = None) -> str | None:
     # CPU executables are AOT-compiled against the build host's exact ISA
     # feature set; loading them on a different machine can SIGILL. Only
     # accelerator programs are worth caching anyway.
-    if jax.default_backend() == "cpu":
+    #
+    # Decide from the CONFIGURED platform when possible instead of
+    # jax.default_backend(): the latter initializes the PJRT backend,
+    # and a caller that still wants fork-based DataLoader workers (the
+    # pool must be built before the JAX runtime exists — data/loader.py)
+    # would lose them to the spawn fallback just by enabling the cache.
+    # On this rig sitecustomize's register() sets jax_platforms="axon"
+    # at import time, so the config answers without any init.
+    platforms = (getattr(jax.config, "jax_platforms", None)
+                 or os.environ.get("JAX_PLATFORMS", ""))
+    first = platforms.split(",")[0].strip().lower()
+    if first == "cpu":
+        return None
+    if not first and jax.default_backend() == "cpu":
         return None
     path = os.path.abspath(path or os.environ.get(
         "SURS_COMPILATION_CACHE", DEFAULT_DIR))
