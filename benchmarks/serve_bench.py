@@ -43,18 +43,29 @@ items = [((rng.random((S, S, 3)) * 255).astype(np.uint8), mask_u8,
 
 import tempfile
 with tempfile.TemporaryDirectory() as td:
-    # warm both paths once (bucket caches, slice programs)
-    service.reconstruct(*items[0][:2], "warm", os.path.join(td, "w"))
-    service.reconstruct_many(items[:1], os.path.join(td, "wp"))
-
-    t0 = time.time()
+    # warm over ALL subjects first: each subject's face count can land
+    # in a fresh extraction size bucket (recon/tetra_device bucket
+    # cache), and a bucket miss is a REMOTE COMPILE — whichever mode
+    # runs first would otherwise absorb every miss and hand the other
+    # mode warm caches (a first cut of this bench read 38.9x "speedup"
+    # that was purely compile ordering). Steady state is what serving
+    # throughput means; timings below are min over 2 full passes.
     for img, m, name in items:
-        service.reconstruct(img, m, name, os.path.join(td, "seq"))
-    t_seq = time.time() - t0
+        service.reconstruct(img, m, name, os.path.join(td, "w"))
+    service.reconstruct_many(items, os.path.join(td, "wp"))
 
-    t0 = time.time()
-    service.reconstruct_many(items, os.path.join(td, "pipe"))
-    t_pipe = time.time() - t0
+    t_seq = 1e30
+    for _ in range(2):
+        t0 = time.time()
+        for img, m, name in items:
+            service.reconstruct(img, m, name, os.path.join(td, "seq"))
+        t_seq = min(t_seq, time.time() - t0)
+
+    t_pipe = 1e30
+    for _ in range(2):
+        t0 = time.time()
+        service.reconstruct_many(items, os.path.join(td, "pipe"))
+        t_pipe = min(t_pipe, time.time() - t0)
 
     # parity spot check
     a = open(os.path.join(td, "seq", "subj1_HR.obj"), "rb").read()
