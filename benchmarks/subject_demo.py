@@ -175,11 +175,24 @@ if STATE_CACHE and os.path.exists(STATE_CACHE + ".npz"):
     print(f"restored trained params from {STATE_CACHE}.npz — "
           f"skipping training", flush=True)
 else:
+    # optional cosine LR decay (SURS_DEMO_LR_FINAL=<final_lr>): the
+    # 4000-iter fixed-lr run trades projected-normal cosine for its
+    # Chamfer win (BASELINE.md round 4); annealing to ~lr/10 converges
+    # a smoother surface. Uses the injected-hyperparameter path
+    # (train/optim.set_learning_rate) — no recompiles.
+    lr_final = float(os.environ.get("SURS_DEMO_LR_FINAL", "0") or 0)
+    from surs_tpu.train.optim import set_learning_rate
     t0 = time.time()
     it = 0
     first_loss = None
     while it < ITERS_TRAIN:
         for raw in dl:
+            if lr_final and it % 50 == 0:
+                frac = it / max(ITERS_TRAIN - 1, 1)
+                lr = lr_final + 0.5 * (cfg.learning_rate - lr_final) * (
+                    1.0 + np.cos(np.pi * frac))
+                state = state.replace(
+                    opt_state=set_learning_rate(state.opt_state, lr))
             b = batch_to_device(raw, quantize_images=True)
             state, m = step(state, b)
             if it == 0 or it % 250 == 0:

@@ -160,11 +160,19 @@ class SuRSConfig:
     mesh_axis_data: str = "data"    # device-mesh axis for batch sharding
     mesh_axis_points: str = "points"  # device-mesh axis for query sharding
     use_pallas: bool = True         # fused Pallas point-query MLP
-    fused_train: bool = True        # train step queries via the Pallas
-                                    # kernel (custom_vjp backward);
-                                    # active on TPU group-norm configs
-                                    # (--no_fused_train opts out; CPU
-                                    # always uses the plain XLA step)
+    fused_train: bool = False       # train step queries via the Pallas
+                                    # kernel (custom_vjp backward).
+                                    # Default OFF: measured slower than
+                                    # the plain XLA step at every point
+                                    # count that compiles (BENCH_train_
+                                    # scaling.json, TPU v5e: 6k 116.5 vs
+                                    # 115.2 ms; 24k 248.4 vs 231.8 ms;
+                                    # 96k fails remote compile in both
+                                    # modes) — XLA already fuses the
+                                    # MLP chain well and the custom-vjp
+                                    # kernel adds bf16 re-pack traffic.
+                                    # --fused_train opts in (e.g. to
+                                    # re-measure on other TPU gens).
     mask_prune: bool = True         # visual-hull octree pre-pruning.
                                     # Default ON: it only engages when
                                     # the subject ships a mask (the

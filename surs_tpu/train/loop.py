@@ -103,10 +103,11 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
     if (getattr(cfg, "fused_train", False) and cfg.norm != "batch"
             and cfg.num_views == 1
             and jax.default_backend() != "cpu"):
-        # TPU default: route the point-MLP stage through the Pallas
-        # kernel (custom_vjp; gradient-parity pinned by
-        # tests/test_fused_train). --no_fused_train opts out; CPU and
-        # batch-norm configs take the plain XLA step.
+        # Opt-in (--fused_train): route the point-MLP stage through the
+        # Pallas kernel (custom_vjp; gradient-parity pinned by
+        # tests/test_fused_train). Default OFF — measured slower than
+        # the plain XLA step at 6k/24k points (BENCH_train_scaling.json).
+        # CPU and batch-norm configs always take the plain XLA step.
         from .fused_step import make_fused_train_step
         step_fn = make_fused_train_step(model, optimizer,
                                         use_pallas=cfg.use_pallas)
