@@ -39,7 +39,7 @@ def run_mlp(ws, x, res_layers):
     return torch.sigmoid(y)
 
 
-def make_nets(w_scale: float = 1.0):
+def make_nets(w_scale: float = 1.0, blur: int = 0):
     """Feature maps + both MLPs at the reference config. ``w_scale``
     scales the random init so the occupancy fields have SPATIAL
     structure (at torch's tiny default scale both sigmoids flatline at
@@ -50,11 +50,25 @@ def make_nets(w_scale: float = 1.0):
     measured query fractions here: 8.6% / 40% / 77% / 97% of 128^3 at
     w_scale 0.3 / 0.6 / 1.0 / 2.0, and the fraction roughly halves per
     resolution doubling — so the default 0.3 lands 512^3 in the same
-    ~2% regime, keeping the sec/mesh comparison workload-matched."""
+    ~2% regime, keeping the sec/mesh comparison workload-matched.
+
+    ``blur`` (odd kernel size, 0 = off) average-pools the random
+    feature maps first. Raw iid feature maps yield a field that is
+    white noise in uv — its 0.5-isosurface is junk with 10-40M faces
+    at 256^3, so MC + OBJ-write time dwarfs any real subject's
+    (~1-2M faces) and would inflate the CPU baseline. Blurring makes
+    the field spatially coherent, giving real-subject-like face
+    counts while keeping the query-fraction regime."""
     torch.manual_seed(0)
     res_layers = (2, 3, 4)
     feat_lr = torch.randn(1, 256, 128, 128)
     feat_hr = torch.randn(1, 64, 512, 512)
+    if blur:
+        pad = blur // 2
+        feat_lr = F.avg_pool2d(F.pad(feat_lr, (pad,) * 4, mode="reflect"),
+                               blur, stride=1) * blur
+        feat_hr = F.avg_pool2d(F.pad(feat_hr, (pad,) * 4, mode="reflect"),
+                               blur, stride=1) * blur
     mlp_lr = [(w * w_scale, b)
               for w, b in make_mlp([321, 1024, 512, 256, 128, 1],
                                    res_layers)]
@@ -105,6 +119,11 @@ def octree_eval_reference(query_world, R, chunk=50000, init_res=64,
         idx = np.argwhere(test)
         pts = axis[idx.T]                                   # [3, M]
         n_queries += pts.shape[1]
+        import os as _os
+        if _os.environ.get("MESH_VERBOSE"):
+            print(f"  [level reso={reso}] {pts.shape[1]} queries "
+                  f"({pts.shape[1] / (R / reso) ** 3 * 100:.1f}% of "
+                  f"level lattice)", flush=True)
         t0 = time.time()
         with torch.no_grad():
             hr = np.empty(pts.shape[1], np.float32)
@@ -156,7 +175,7 @@ def octree_eval_reference(query_world, R, chunk=50000, init_res=64,
     return sdf_hr, sdf_lr, n_queries
 
 
-def run_mesh_baseline(R, w_scale, out):
+def run_mesh_baseline(R, w_scale, out, blur=0):
     """Reference-shaped sec/mesh on this CPU: octree field evaluation
     (both fields) + isosurface extraction x2 + OBJ write x2
     (lib/mesh_util.py:8-49 + lib/sdf.py:55-120). skimage (the
@@ -172,7 +191,7 @@ def run_mesh_baseline(R, w_scale, out):
     from surs_tpu.recon.marching import extract_isosurface
     from surs_tpu.recon.mesh_io import save_obj_mesh
 
-    query_world = make_nets(w_scale)
+    query_world = make_nets(w_scale, blur=blur)
     stats = {}
     t0 = time.time()
     sdf_hr, sdf_lr, nq = octree_eval_reference(query_world, R,
@@ -192,7 +211,8 @@ def run_mesh_baseline(R, w_scale, out):
     out[f"detail_{R}"] = {
         "octree_eval_sec": round(t_eval, 2), **stats,
         "mc_and_write_sec": round(t_mesh_io, 2),
-        "queries": int(nq), "faces": faces_n, "w_scale": w_scale}
+        "queries": int(nq), "faces": faces_n, "w_scale": w_scale,
+        "blur": blur}
     print(f"[{R}^3] eval {t_eval:.1f}s ({nq} queries; query "
           f"{stats['query_sec']}s, machinery {stats['machinery_sec']}s) "
           f"+ MC/write {t_mesh_io:.1f}s ({faces_n} faces) = {total:.1f}s",
@@ -204,7 +224,8 @@ def main():
     if "--mesh" in sys.argv:
         # end-to-end reference-shaped sec/mesh (BASELINE.json north star
         # denominator). Env: MESH_RES (csv, default "256,512"),
-        # MESH_WSCALE (default 0.3 — see make_nets).
+        # MESH_WSCALE (default 0.3), MESH_BLUR (odd kernel, 0=off)
+        # — see make_nets.
         import os
         import subprocess
         sys.path.insert(0, os.path.abspath(os.path.join(
@@ -220,9 +241,10 @@ def main():
         except Exception:  # noqa: BLE001
             pass
         w_scale = float(os.environ.get("MESH_WSCALE", "0.3"))
+        blur = int(os.environ.get("MESH_BLUR", "0"))
         for R in [int(r) for r in
                   os.environ.get("MESH_RES", "256,512").split(",")]:
-            run_mesh_baseline(R, w_scale, out)
+            run_mesh_baseline(R, w_scale, out, blur=blur)
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_cpu_baseline.json")
         with open(path, "w") as f:

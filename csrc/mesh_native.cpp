@@ -53,10 +53,15 @@ const int kCaseTris[16][2][3] = {
 
 struct EdgeMap {
   // open-addressing hash: key = lo * N + hi (fits in 64 bits for grids
-  // up to ~2^21 voxels per axis cubed — far beyond practical use)
+  // up to ~2^21 voxels per axis cubed — far beyond practical use).
+  // Grows at 70% load: a fixed-capacity table would degrade to O(n)
+  // probes near full and spin FOREVER once full (every slot occupied,
+  // key absent) — hit in practice by noise-like volumes whose unique
+  // edge-crossing count exceeds the initial guess.
   std::vector<uint64_t> keys;
   std::vector<int64_t> vals;
   uint64_t mask;
+  size_t used;
 
   explicit EdgeMap(size_t expected) {
     size_t cap = 64;
@@ -64,12 +69,31 @@ struct EdgeMap {
     keys.assign(cap, UINT64_MAX);
     vals.assign(cap, -1);
     mask = cap - 1;
+    used = 0;
+  }
+
+  void grow() {
+    std::vector<uint64_t> old_keys(keys.size() * 2, UINT64_MAX);
+    std::vector<int64_t> old_vals(vals.size() * 2, -1);
+    old_keys.swap(keys);
+    old_vals.swap(vals);
+    mask = keys.size() - 1;
+    for (size_t j = 0; j < old_keys.size(); ++j) {
+      if (old_keys[j] == UINT64_MAX) continue;
+      uint64_t h = old_keys[j] * 0x9E3779B97F4A7C15ull;
+      size_t i = h & mask;
+      while (keys[i] != UINT64_MAX) i = (i + 1) & mask;
+      keys[i] = old_keys[j];
+      vals[i] = old_vals[j];
+    }
   }
 
   int64_t* slot(uint64_t key) {
+    if (used * 10 >= keys.size() * 7) grow();
     uint64_t h = key * 0x9E3779B97F4A7C15ull;
     size_t i = h & mask;
     while (keys[i] != UINT64_MAX && keys[i] != key) i = (i + 1) & mask;
+    if (keys[i] == UINT64_MAX) ++used;
     keys[i] = key;
     return &vals[i];
   }

@@ -159,6 +159,34 @@ def test_native_matches_numpy_backend():
     np.testing.assert_allclose(s_np, s_na, atol=1e-4)
 
 
+@pytest.mark.skipif(not native.available(), reason="native lib not built")
+def test_native_edge_map_grows_past_initial_capacity():
+    """Regression: EdgeMap was a FIXED-capacity open-addressing table
+    (2^21 slots); a volume with more unique edge crossings than capacity
+    made slot()'s probe loop spin forever once the table filled (hit in
+    practice by benchmarks/baseline_torch.py --mesh noise fields at
+    256^3). The table must rehash-grow instead. This volume produces
+    ~3M unique crossing vertices (> the old 2.1M slot ceiling); under
+    the broken code this test hangs rather than fails, so it runs the
+    extraction in a subprocess with a hard timeout."""
+    import subprocess
+    import sys
+    code = (
+        "import numpy as np\n"
+        "from surs_tpu.recon import native\n"
+        "rng = np.random.default_rng(7)\n"
+        "vol = rng.random((96, 96, 96), dtype=np.float32)\n"
+        "v, f = native.marching_tetrahedra(vol, 0.5)\n"
+        "assert v.shape[0] > 2_200_000, v.shape\n"
+        "assert f.min() >= 0 and f.max() < v.shape[0]\n"
+        "print('verts', v.shape[0])\n")
+    r = subprocess.run([sys.executable, "-c", code], timeout=240,
+                       capture_output=True, text=True,
+                       env={**os.environ, "JAX_PLATFORMS": "cpu"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "verts" in r.stdout
+
+
 def test_obj_roundtrip(tmp_path):
     verts = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]])
     faces = np.array([[0, 1, 2]])
