@@ -39,7 +39,7 @@ def run_mlp(ws, x, res_layers):
     return torch.sigmoid(y)
 
 
-def make_nets(w_scale: float = 1.0, blur: int = 0):
+def make_nets(w_scale: float = 1.0, blur: int = 0, subject: bool = False):
     """Feature maps + both MLPs at the reference config. ``w_scale``
     scales the random init so the occupancy fields have SPATIAL
     structure (at torch's tiny default scale both sigmoids flatline at
@@ -58,7 +58,18 @@ def make_nets(w_scale: float = 1.0, blur: int = 0):
     at 256^3, so MC + OBJ-write time dwarfs any real subject's
     (~1-2M faces) and would inflate the CPU baseline. Blurring makes
     the field spatially coherent, giving real-subject-like face
-    counts while keeping the query-fraction regime."""
+    counts while keeping the query-fraction regime.
+
+    ``subject`` composites the MLP outputs onto a smooth synthetic
+    occupancy (a soft ball per field, slightly different radii like
+    the reference's HR/LR pair) so the 0.5-isosurface is a single
+    closed noisy-sphere SUBJECT instead of volume-filling sigmoid
+    noise. The per-query COST is unchanged — both grid_samples and
+    both full MLPs still run on every chunk, which is the thing being
+    timed — only the field handed to the octree/MC is reshaped, so
+    query counts and face counts land in a real subject's regime
+    (measured: ~2% of 512^3 queried, ~1-2M faces) rather than a
+    noise field's."""
     torch.manual_seed(0)
     res_layers = (2, 3, 4)
     feat_lr = torch.randn(1, 256, 128, 128)
@@ -89,8 +100,17 @@ def make_nets(w_scale: float = 1.0, blur: int = 0):
         x = torch.cat([f1, f2, z], 1)
         p_lr = run_mlp(mlp_lr, x, res_layers)
         p_hr = run_mlp(mlp_hr, torch.cat([x, p_lr], 1), res_layers)
-        return (p_hr[0, 0].numpy().astype("float32"),
-                p_lr[0, 0].numpy().astype("float32"))
+        hr = p_hr[0, 0]
+        lr = p_lr[0, 0]
+        if subject:
+            # Soft-ball occupancy per field (slightly different radii,
+            # like the reference's HR/LR pair); the MLP sigmoid rides on
+            # top as +-0.1 shell noise. Cost per query is unchanged.
+            d = torch.linalg.norm(p[0], dim=0)
+            hr = torch.sigmoid((0.30 - d) / 0.004) + 0.2 * (hr - 0.5)
+            lr = torch.sigmoid((0.28 - d) / 0.004) + 0.2 * (lr - 0.5)
+        return (hr.numpy().astype("float32"),
+                lr.numpy().astype("float32"))
 
     return query_world
 
@@ -175,7 +195,7 @@ def octree_eval_reference(query_world, R, chunk=50000, init_res=64,
     return sdf_hr, sdf_lr, n_queries
 
 
-def run_mesh_baseline(R, w_scale, out, blur=0):
+def run_mesh_baseline(R, w_scale, out, blur=0, subject=True):
     """Reference-shaped sec/mesh on this CPU: octree field evaluation
     (both fields) + isosurface extraction x2 + OBJ write x2
     (lib/mesh_util.py:8-49 + lib/sdf.py:55-120). skimage (the
@@ -191,7 +211,7 @@ def run_mesh_baseline(R, w_scale, out, blur=0):
     from surs_tpu.recon.marching import extract_isosurface
     from surs_tpu.recon.mesh_io import save_obj_mesh
 
-    query_world = make_nets(w_scale, blur=blur)
+    query_world = make_nets(w_scale, blur=blur, subject=subject)
     stats = {}
     t0 = time.time()
     sdf_hr, sdf_lr, nq = octree_eval_reference(query_world, R,
@@ -212,7 +232,7 @@ def run_mesh_baseline(R, w_scale, out, blur=0):
         "octree_eval_sec": round(t_eval, 2), **stats,
         "mc_and_write_sec": round(t_mesh_io, 2),
         "queries": int(nq), "faces": faces_n, "w_scale": w_scale,
-        "blur": blur}
+        "blur": blur, "subject": subject}
     print(f"[{R}^3] eval {t_eval:.1f}s ({nq} queries; query "
           f"{stats['query_sec']}s, machinery {stats['machinery_sec']}s) "
           f"+ MC/write {t_mesh_io:.1f}s ({faces_n} faces) = {total:.1f}s",
@@ -224,8 +244,8 @@ def main():
     if "--mesh" in sys.argv:
         # end-to-end reference-shaped sec/mesh (BASELINE.json north star
         # denominator). Env: MESH_RES (csv, default "256,512"),
-        # MESH_WSCALE (default 0.3), MESH_BLUR (odd kernel, 0=off)
-        # — see make_nets.
+        # MESH_WSCALE (default 0.3), MESH_BLUR (odd kernel, 0=off),
+        # MESH_SUBJECT (default 1) — see make_nets.
         import os
         import subprocess
         sys.path.insert(0, os.path.abspath(os.path.join(
@@ -242,9 +262,10 @@ def main():
             pass
         w_scale = float(os.environ.get("MESH_WSCALE", "0.3"))
         blur = int(os.environ.get("MESH_BLUR", "0"))
+        subject = os.environ.get("MESH_SUBJECT", "1") != "0"
         for R in [int(r) for r in
                   os.environ.get("MESH_RES", "256,512").split(",")]:
-            run_mesh_baseline(R, w_scale, out, blur=blur)
+            run_mesh_baseline(R, w_scale, out, blur=blur, subject=subject)
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_cpu_baseline.json")
         with open(path, "w") as f:
