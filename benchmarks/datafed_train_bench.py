@@ -163,10 +163,16 @@ def main():
         # both raw and loop-only rates
         loop_wall = summary["wall_sec"]
         sps = summary["iters"] / loop_wall
+        # ex-save rate: this bench's 12-item epochs hit the (reference-
+        # parity) per-epoch netG_latest Orbax save ~17x in 200 steps —
+        # real epochs are thousands of items, so the amortized-save rate
+        # is the representative steady-state figure
+        sps_ex = summary["iters"] / max(loop_wall - summary["save_sec"],
+                                        1e-9)
         print(f"[datafed] {summary['iters']} steps in {loop_wall:.1f}s "
               f"train() wall ({wall:.1f}s incl. imports) = "
-              f"{sps:.2f} steps/s end-to-end; data-wait "
-              f"{summary['data_sec']:.1f}s, enqueue "
+              f"{sps:.2f} steps/s end-to-end ({sps_ex:.2f} ex-save); "
+              f"data-wait {summary['data_sec']:.1f}s, enqueue "
               f"{summary['enqueue_sec']:.1f}s, saves "
               f"{summary['save_sec']:.1f}s", flush=True)
 
@@ -177,6 +183,7 @@ def main():
                "loader_items_per_sec": loader_ips,
                "train_wall_sec": round(loop_wall, 2),
                "steps_per_sec": round(sps, 3),
+               "steps_per_sec_ex_save": round(sps_ex, 3),
                "items_per_sec_end_to_end": round(2 * sps, 2),
                "data_wait_sec": round(summary["data_sec"], 2),
                "enqueue_sec": round(summary["enqueue_sec"], 2),

@@ -17,7 +17,9 @@ fetch-sync discipline; BASELINE.md round-2 'Measurement discipline').
 
 Env: ROWS — comma list of kind:batch:points rows (default
 "xla:2:6000,fused:2:6000,xla:2:24000,fused:2:24000,xla:2:96000,
-fused:2:96000,xla:4:6000,xla:8:6000").
+fused:2:96000,xla:4:6000,xla:8:6000"). kinds: xla | fused | remat
+(XLA step with the config.py `remat` point-MLP rematerialization).
+An explicit ROWS run merges into the existing artifact.
 """
 
 import json
@@ -72,8 +74,11 @@ def make_batch(B, N, S=LOAD_SIZE // 2):
 
 
 def run_row(kind, B, N):
+    # kinds: xla | fused | remat (XLA step with point-MLP remat — the
+    # config.py `remat` flag that unlocks large-N compiles)
     cfg = SuRSConfig(loadSize=LOAD_SIZE, residual=True, num_sample_inout=N,
-                     batch_size=B, learning_rate=1e-3, dtype="auto")
+                     batch_size=B, learning_rate=1e-3, dtype="auto",
+                     remat=(kind == "remat"))
     model = surs_net_from_config(cfg)
     opt = make_optimizer(cfg)
     batch = make_batch(B, N)
@@ -129,6 +134,23 @@ def main():
     out = {"source": "benchmarks/train_scaling_bench.py",
            "backend": jax.default_backend(),
            "peak_flops_assumed": PEAK_FLOPS, "rows": []}
+    # partial re-runs (explicit ROWS) merge into the existing artifact so
+    # adding e.g. remat rows doesn't drop the rest of the table
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_train_scaling.json")
+    if "ROWS" in os.environ and os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            if prev.get("backend") == jax.default_backend():
+                keys = {(r.strip().split(":")[0],
+                         int(r.strip().split(":")[1]),
+                         int(r.strip().split(":")[2])) for r in rows}
+                out["rows"] = [r for r in prev.get("rows", [])
+                               if (r["kind"], r["batch"],
+                                   r["points"]) not in keys]
+        except Exception:  # noqa: BLE001
+            pass
     try:
         out["git_commit"] = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
@@ -145,8 +167,6 @@ def main():
             out["rows"].append({"kind": kind, "batch": int(B),
                                 "points": int(N),
                                 "error": f"{type(e).__name__}: {e}"[:200]})
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_train_scaling.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

@@ -173,6 +173,21 @@ class SuRSConfig:
                                     # kernel adds bf16 re-pack traffic.
                                     # --fused_train opts in (e.g. to
                                     # re-measure on other TPU gens).
+    remat: bool = False             # rematerialize the point-MLP
+                                    # activations in the train step
+                                    # (flax nn.remat over both
+                                    # SurfaceClassifiers). The MLP hidden
+                                    # activations dominate grad temps at
+                                    # large num_sample_inout (~1.5 GB/
+                                    # stack at 96k points batch 2); remat
+                                    # trades one extra MLP forward in
+                                    # backward for dropping them, which
+                                    # is what lets the 96k-point step
+                                    # compile on the remote TPU compiler
+                                    # at all (BENCH_train_scaling.json:
+                                    # plain XLA fails HTTP 500 there).
+                                    # Inference is unaffected (checkpoint
+                                    # is a no-op without grad).
     mask_prune: bool = True         # visual-hull octree pre-pruning.
                                     # Default ON: it only engages when
                                     # the subject ships a mask (the

@@ -60,6 +60,11 @@ class SuRSNet(nn.Module):
     # conv-trunk compute dtype ('float32' | 'bfloat16'); params stay f32
     # and the point MLPs always run f32
     dtype: str = "float32"
+    # rematerialize point-MLP activations under grad (config.py `remat`):
+    # drops the [B,N,1024..128] hidden-layer grad temps that dominate
+    # train-step memory at large N, at the cost of one extra MLP forward
+    # in the backward pass
+    remat: bool = False
 
     def setup(self):
         import jax.numpy as _jnp
@@ -78,12 +83,14 @@ class SuRSNet(nn.Module):
         self.image_filter_hr = HGFilter(self.num_stack_hr, self.hg_depth,
                                         64, self.norm, "high_res",
                                         use_sigmoid=False, dtype=dt)
-        self.mlp_lr = SurfaceClassifier(tuple(self.mlp_dim_lr),
-                                        self.num_views, self.no_residual,
-                                        tuple(self.mlp_res_layers_lr))
-        self.mlp_hr = SurfaceClassifier(tuple(self.mlp_dim_hr),
-                                        self.num_views, self.no_residual,
-                                        tuple(self.mlp_res_layers_hr))
+        mlp_cls = (nn.remat(SurfaceClassifier) if self.remat
+                   else SurfaceClassifier)
+        self.mlp_lr = mlp_cls(tuple(self.mlp_dim_lr),
+                              self.num_views, self.no_residual,
+                              tuple(self.mlp_res_layers_lr))
+        self.mlp_hr = mlp_cls(tuple(self.mlp_dim_hr),
+                              self.num_views, self.no_residual,
+                              tuple(self.mlp_res_layers_hr))
 
     # ------------------------------------------------------------------
     def encode(self, images_lr: jnp.ndarray, train: bool = False):
@@ -220,4 +227,5 @@ def surs_net_from_config(cfg) -> SuRSNet:
         n_block=tuple(cfg.n_block), residual=cfg.residual, scale=cfg.scale,
         load_size=cfg.loadSize, z_size=cfg.z_size,
         w_mlp1=cfg.mlp1, w_mlp2=cfg.mlp2, w_sr=cfg.srweight,
-        w_disp=cfg.dispweight, dtype=resolve_auto("dtype", cfg.dtype))
+        w_disp=cfg.dispweight, dtype=resolve_auto("dtype", cfg.dtype),
+        remat=cfg.remat)

@@ -204,6 +204,30 @@ def test_surs_net_bf16_trunk(rng):
                                atol=0.15)
 
 
+def test_surs_net_remat_grad_parity(rng):
+    """`remat=True` (config.py remat) rematerializes the point-MLP
+    activations in backward; it must be value- AND grad-identical to the
+    plain model — it only changes what XLA saves for the backward pass."""
+    import jax
+    batch = tiny_batch(rng)
+    net = tiny_net()
+    net_r = tiny_net(remat=True)
+    params = net.init(jax.random.PRNGKey(0), *batch, train=True)["params"]
+
+    def make_loss(m):
+        return lambda p: m.apply({"params": p}, *batch, train=True)[1]
+
+    l0, g0 = jax.value_and_grad(make_loss(net))(params)
+    l1, g1 = jax.value_and_grad(make_loss(net_r))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    assert len(flat0) == len(flat1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_hgfilter_conv64_mode(rng):
     """The reference's third stem variant (HGFilters.py:142-144)."""
     import jax
