@@ -188,6 +188,18 @@ class SuRSConfig:
                                     # plain XLA fails HTTP 500 there).
                                     # Inference is unaffected (checkpoint
                                     # is a no-op without grad).
+    pack_h2d: bool = True           # ship each training batch as ONE
+                                    # uint8 payload and unpack it inside
+                                    # the jitted step (train/pack.py):
+                                    # 1 transfer + 1 program enqueue per
+                                    # step instead of 8. On a tunneled
+                                    # TPU host the per-array enqueue
+                                    # floor (~30-45 ms x 7 arrays) is
+                                    # most of data-fed step overhead
+                                    # (BASELINE.md round-4 anatomy); on
+                                    # CPU the extra host memcpy is noise,
+                                    # so the default holds everywhere and
+                                    # tests exercise the shipping path.
     mask_prune: bool = True         # visual-hull octree pre-pruning.
                                     # Default ON: it only engages when
                                     # the subject ships a mask (the

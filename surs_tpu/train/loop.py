@@ -27,9 +27,10 @@ from .checkpoint import CheckpointManager
 from ..utils.profiling import Profiler
 
 
-def batch_to_device(batch: Dict, quantize_images: bool = False
-                    ) -> Dict[str, jnp.ndarray]:
-    """Map dataset keys -> model kwargs, labels to [B, N, 1].
+def batch_host_arrays(batch: Dict, quantize_images: bool = False
+                      ) -> Dict[str, np.ndarray]:
+    """Map dataset keys -> model kwargs as HOST numpy arrays, labels to
+    [B, N, 1].
 
     Multi-view batches arrive as [B, V, ...]; images/calibs collapse to
     [B*V, ...] and sample points repeat per view, the equivalent of the
@@ -64,15 +65,25 @@ def batch_to_device(batch: Dict, quantize_images: bool = False
         pts_lr = np.repeat(pts_lr, V, axis=0)
         pts_hr = np.repeat(pts_hr, V, axis=0)
     return {
-        "images_lr": jnp.asarray(img_lr),
-        "images_hr": jnp.asarray(img_hr),
-        "points_lr": jnp.asarray(pts_lr),
-        "points_hr": jnp.asarray(pts_hr),
-        "calibs": jnp.asarray(calib),
-        "labels_lr": jnp.asarray(
-            np.swapaxes(batch["labels_disp"], 1, 2)),
-        "labels_hr": jnp.asarray(np.swapaxes(batch["labels_HR"], 1, 2)),
+        "images_lr": img_lr,
+        "images_hr": img_hr,
+        "points_lr": pts_lr,
+        "points_hr": pts_hr,
+        "calibs": calib,
+        "labels_lr": np.swapaxes(batch["labels_disp"], 1, 2),
+        "labels_hr": np.swapaxes(batch["labels_HR"], 1, 2),
     }
+
+
+def batch_to_device(batch: Dict, quantize_images: bool = False
+                    ) -> Dict[str, jnp.ndarray]:
+    """batch_host_arrays shipped array-by-array (7 transfers). The train
+    loop's default path instead packs the batch into one payload
+    (train/pack.py, cfg.pack_h2d); this per-array form remains the API
+    for callers that need device arrays directly (state init, demos,
+    benches)."""
+    return {k: jnp.asarray(v)
+            for k, v in batch_host_arrays(batch, quantize_images).items()}
 
 
 def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
@@ -100,6 +111,7 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
     init_batch = batch_to_device(collate([train_dataset[0]]))
     state = create_train_state(model, optimizer, jax.random.PRNGKey(cfg.seed),
                                init_batch)
+    pack = bool(getattr(cfg, "pack_h2d", True))
     if (getattr(cfg, "fused_train", False) and cfg.norm != "batch"
             and cfg.num_views == 1
             and jax.default_backend() != "cpu"):
@@ -110,9 +122,15 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
         # CPU and batch-norm configs always take the plain XLA step.
         from .fused_step import make_fused_train_step
         step_fn = make_fused_train_step(model, optimizer,
-                                        use_pallas=cfg.use_pallas)
+                                        use_pallas=cfg.use_pallas,
+                                        jit=not pack)
     else:
-        step_fn = make_train_step(model, optimizer)
+        step_fn = make_train_step(model, optimizer, jit=not pack)
+    if pack:
+        # single-payload H2D: the unpack folds into the step program
+        # (train/pack.py), so a data-fed step is 1 transfer + 1 enqueue
+        from .pack import pack_arrays, make_packed_step
+        packed_step = make_packed_step(step_fn)
 
     ckpt = CheckpointManager(cfg.checkpoints_path, cfg.name)
     start_epoch = 0
@@ -143,8 +161,14 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
         for idx, raw in enumerate(loader):
             iter_start = time.time()
             data_sec += iter_start - iter_data_t
-            batch = batch_to_device(raw, quantize_images=True)
-            state, metrics = step_fn(state, batch)
+            host = batch_host_arrays(raw, quantize_images=True)
+            if pack:
+                payload, spec = pack_arrays(host)
+                state, metrics = packed_step(state, jnp.asarray(payload),
+                                             spec)
+            else:
+                state, metrics = step_fn(
+                    state, {k: jnp.asarray(v) for k, v in host.items()})
             # only sync on the loss when logging — a per-step device
             # fetch would serialize the async dispatch pipeline
             iter_net = time.time()
@@ -171,17 +195,17 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
                 # for visual QC, but it is exactly what the reference
                 # dumps, and these PLYs exist for parity.
                 base = os.path.join(cfg.results_path, cfg.name)
-                pts = np.asarray(batch["points_hr"][0]).T
+                pts = np.asarray(host["points_hr"][0]).T
                 save_samples_truncted_prob(
                     os.path.join(base, f"{epoch}pred.ply"), pts,
                     np.asarray(metrics["pred_hr"][0]))
                 save_samples_truncted_prob(
                     os.path.join(base, f"{epoch}pred_gt.ply"), pts,
-                    np.asarray(batch["labels_hr"][0]))
+                    np.asarray(host["labels_hr"][0]))
                 save_samples_truncted_prob(
                     os.path.join(base, f"{epoch}pred_lr.ply"),
-                    np.asarray(batch["points_lr"][0]).T,
-                    np.asarray(batch["labels_lr"][0]))
+                    np.asarray(host["points_lr"][0]).T,
+                    np.asarray(host["labels_lr"][0]))
             iter_data_t = time.time()
             iters_done += 1
             if max_iters is not None and iters_done >= max_iters:

@@ -171,3 +171,57 @@ def test_uint8_image_wire_format():
     np.testing.assert_allclose(d, img, atol=0.5 / 127.0)
     np.testing.assert_array_equal(d[0, :4, :4, :], 0.0)
     np.testing.assert_array_equal(d[0, 4, 4, :], [-1.0, 0.0, 1.0])
+
+
+def test_pack_roundtrip_mixed_dtypes():
+    """pack_arrays -> device unpack_arrays is byte-exact for every dtype
+    class the batch ships (uint8 images, f32 points/calib/labels) plus
+    the wider types a future batch might add."""
+    from surs_tpu.train.pack import pack_arrays, unpack_arrays
+    r = np.random.default_rng(0)
+    arrays = {
+        "u8": r.integers(0, 255, (2, 3, 5)).astype(np.uint8),
+        "f32": r.standard_normal((4, 7)).astype(np.float32),
+        "f64": r.standard_normal((3,)).astype(np.float64),
+        "i32": r.integers(-5, 5, (2, 2)).astype(np.int32),
+    }
+    payload, spec = pack_arrays(arrays)
+    assert payload.dtype == np.uint8
+    out = jax.jit(unpack_arrays, static_argnums=1)(
+        jnp.asarray(payload), spec)
+    for k, a in arrays.items():
+        # pack canonicalizes dtypes exactly like jnp.asarray (f64->f32
+        # without x64), so compare against the per-array wire format
+        ref = np.asarray(jnp.asarray(a))
+        got = np.asarray(out[k])
+        assert got.shape == ref.shape and got.dtype == ref.dtype
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_packed_step_matches_plain_step(rng):
+    """The single-payload train step (cfg.pack_h2d, train/pack.py) is
+    numerically the plain step: same loss, same updated params."""
+    from surs_tpu.train.pack import pack_arrays, make_packed_step
+    model = tiny_model()
+    opt = make_optimizer(SuRSConfig(learning_rate=1e-3))
+    batch = tiny_batch(rng)
+    host = {k: np.asarray(v) for k, v in batch.items()}
+    # quantized-image wire format, as the train loop ships it
+    for k in ("images_lr", "images_hr"):
+        host[k] = np.clip(np.rint(host[k] * 127.0) + 127.0, 0,
+                          254).astype(np.uint8)
+    state = create_train_state(model, opt, jax.random.PRNGKey(0), batch)
+    plain = make_train_step(model, opt, donate=False)
+    s_plain, m_plain = plain(state, {k: jnp.asarray(v)
+                                     for k, v in host.items()})
+    payload, spec = pack_arrays(host)
+    packed = make_packed_step(make_train_step(model, opt, jit=False),
+                              donate=False)
+    s_pack, m_pack = packed(state, jnp.asarray(payload), spec)
+    assert float(m_pack["total"]) == pytest.approx(
+        float(m_plain["total"]), rel=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a),
+                                                np.asarray(b), atol=1e-6),
+        s_plain.params, s_pack.params)
+    assert int(s_pack.step) == int(s_plain.step) == 1
