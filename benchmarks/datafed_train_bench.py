@@ -144,6 +144,10 @@ def main():
                          no_gen_mesh=True, num_epoch=10 ** 6,
                          checkpoints_path=ckpt_dir,
                          results_path=res_dir,
+                         # DATAFED_PACK=0 re-measures the per-array H2D
+                         # path the packed default replaced
+                         pack_h2d=os.environ.get("DATAFED_PACK",
+                                                 "1") == "1",
                          b_min=[-8.0] * 3, b_max=[8.0] * 3)
         loader_ips = measure_loader(cfg)
 
@@ -180,6 +184,7 @@ def main():
                "backend": backend, "iters": summary["iters"],
                "batch_size": 2, "num_workers": workers,
                "load_size": load_size, "sample_cache": True,
+               "pack_h2d": cfg.pack_h2d,
                "loader_items_per_sec": loader_ips,
                "train_wall_sec": round(loop_wall, 2),
                "steps_per_sec": round(sps, 3),
