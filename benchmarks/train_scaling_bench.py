@@ -52,6 +52,17 @@ PEAK_FLOPS = 197e12
 DEFAULT_ROWS = ("xla:2:6000,fused:2:6000,xla:2:24000,fused:2:24000,"
                 "xla:2:96000,fused:2:96000,xla:4:6000,xla:8:6000")
 
+import re
+
+_ANSI = re.compile(r"\x1b\[[0-9;]*[A-Za-z]")
+
+
+def _short_error(e) -> str:
+    """First line of the error, ANSI-stripped — bench JSON must stay
+    parseable and small (VERDICT r4 weak #1/#8)."""
+    s = _ANSI.sub("", f"{type(e).__name__}: {e}")
+    return s.splitlines()[0][:160]
+
 
 def make_batch(B, N, S=LOAD_SIZE // 2):
     rng = np.random.default_rng(0)
@@ -146,9 +157,16 @@ def main():
                 keys = {(r.strip().split(":")[0],
                          int(r.strip().split(":")[1]),
                          int(r.strip().split(":")[2])) for r in rows}
-                out["rows"] = [r for r in prev.get("rows", [])
-                               if (r["kind"], r["batch"],
-                                   r["points"]) not in keys]
+                # carried-over rows keep the commit they were measured
+                # at (ADVICE r4: don't re-stamp stale rows with the new
+                # top-level git_commit)
+                carried = [dict(r) for r in prev.get("rows", [])
+                           if (r["kind"], r["batch"],
+                               r["points"]) not in keys]
+                for r in carried:
+                    r.setdefault("git_commit",
+                                 prev.get("git_commit", "unknown"))
+                out["rows"] = carried
         except Exception:  # noqa: BLE001
             pass
     try:
@@ -166,7 +184,7 @@ def main():
             print(f"[{row}] FAILED: {type(e).__name__}: {e}", flush=True)
             out["rows"].append({"kind": kind, "batch": int(B),
                                 "points": int(N),
-                                "error": f"{type(e).__name__}: {e}"[:200]})
+                                "error": _short_error(e)})
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

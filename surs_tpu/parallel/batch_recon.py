@@ -21,7 +21,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..recon.evaluator import (_level_step, _prune_upsample,
                                _level_schedule, _octree_state, EvalFn)
@@ -59,7 +59,7 @@ def shard_eval_fn_over_points(eval_fn: EvalFn, mesh: Mesh) -> EvalFn:
             per_shard, mesh=mesh,
             in_specs=(P(None, POINT_AXIS), P()),
             out_specs=(P(POINT_AXIS), P(POINT_AXIS)),
-            check_rep=False)(points, ctx)
+            check_vma=False)(points, ctx)
 
     return wrapped
 
@@ -102,7 +102,7 @@ class ShardedReconstructor:
                 per_shard, mesh=self.mesh,
                 in_specs=(_batched_spec(2),) * 5 + (ctx_spec,),
                 out_specs=(_batched_spec(2),) * 2,
-                check_rep=False)
+                check_vma=False)
             self._level_jits[reso] = jax.jit(fn)
         return self._level_jits[reso]
 
@@ -120,7 +120,7 @@ class ShardedReconstructor:
             fn = shard_map(per_shard, mesh=self.mesh,
                            in_specs=(_batched_spec(2),) * 5,
                            out_specs=(_batched_spec(2),) * 5,
-                           check_rep=False)
+                           check_vma=False)
             self._prune_jits[reso] = jax.jit(fn)
         return self._prune_jits[reso]
 

@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..recon.tetra_device import (_march_core, _count_cells, _ALGOS,
                                   _bucket, unpack_wire_faces,
@@ -108,7 +108,7 @@ def _count_program(mesh: Mesh, axis: str, n: int, Xs: int, Y: int,
 
         _PROGRAMS[key] = jax.jit(shard_map(
             f, mesh=mesh, in_specs=(in_spec, P()),
-            out_specs=(P(axis), P(axis)), check_rep=False))
+            out_specs=(P(axis), P(axis)), check_vma=False))
     return _PROGRAMS[key]
 
 
@@ -131,7 +131,7 @@ def _core_program(mesh: Mesh, axis: str, n: int, Xs: int, Y: int,
 
         _PROGRAMS[key] = jax.jit(shard_map(
             f, mesh=mesh, in_specs=(in_spec, P()),
-            out_specs=tuple([P(axis)] * 10), check_rep=False))
+            out_specs=tuple([P(axis)] * 10), check_vma=False))
     return _PROGRAMS[key]
 
 

@@ -1156,7 +1156,7 @@ def eval_grid_dense_cols_sharded(cols_weights, feat_lr, feat_hr, calib,
     per-device slab to be whole i-rows (R divisible by the axis size).
     """
     from jax.sharding import PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from ..ops.fused_mlp import (fused_dual_mlp_cols,
                                  fused_dual_mlp_cols_xla)
     from ..ops.geometry import orthogonal, in_image_mask, normalize_depth

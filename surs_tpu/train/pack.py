@@ -17,7 +17,7 @@ training reuses one compiled executable.
 
 from __future__ import annotations
 
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -27,7 +27,7 @@ Spec = Tuple[Tuple[str, Tuple[int, ...], str], ...]
 
 
 def pack_arrays(arrays: Dict[str, np.ndarray],
-                key_order: Sequence[str] = None
+                key_order: Optional[Sequence[str]] = None
                 ) -> Tuple[np.ndarray, Spec]:
     """Flatten a dict of host arrays into (uint8 payload, spec).
 
@@ -47,6 +47,12 @@ def pack_arrays(arrays: Dict[str, np.ndarray],
         cd = jax.dtypes.canonicalize_dtype(a.dtype)
         if cd != a.dtype:
             a = np.ascontiguousarray(a.astype(cd))
+        # bool travels as uint8 (XLA forbids bitcasting to PRED); the
+        # spec marks it '|b1' so unpack restores it with a compare
+        if a.dtype == np.bool_:
+            spec.append((k, tuple(int(s) for s in a.shape), "|b1"))
+            parts.append(a.astype(np.uint8).reshape(-1))
+            continue
         spec.append((k, tuple(int(s) for s in a.shape), a.dtype.str))
         parts.append(a.reshape(-1).view(np.uint8))
     payload = (np.concatenate(parts) if parts
@@ -63,7 +69,9 @@ def unpack_arrays(payload: jnp.ndarray, spec: Spec) -> Dict[str, jnp.ndarray]:
         dt = np.dtype(dstr)
         n = int(np.prod(shape, dtype=np.int64)) * dt.itemsize
         seg = jax.lax.slice(payload, (off,), (off + n,))
-        if dt.itemsize == 1:
+        if dt == np.bool_:
+            arr = (seg.reshape(shape) != 0)
+        elif dt.itemsize == 1:
             arr = seg.reshape(shape)
             if dt != np.uint8:
                 arr = jax.lax.bitcast_convert_type(arr, dt)

@@ -184,6 +184,7 @@ def test_pack_roundtrip_mixed_dtypes():
         "f32": r.standard_normal((4, 7)).astype(np.float32),
         "f64": r.standard_normal((3,)).astype(np.float64),
         "i32": r.integers(-5, 5, (2, 2)).astype(np.int32),
+        "mask": r.integers(0, 2, (3, 4)).astype(np.bool_),
     }
     payload, spec = pack_arrays(arrays)
     assert payload.dtype == np.uint8
