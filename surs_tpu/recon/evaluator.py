@@ -608,7 +608,10 @@ def eval_grid_octree_mono(eval_fn: EvalFn, resolution: int,
                           init_resolution: int = 64,
                           num_samples: int = 50000, ctx: Any = None,
                           cache: Optional[Dict] = None,
-                          init_dirty: Optional[jnp.ndarray] = None
+                          init_dirty: Optional[jnp.ndarray] = None,
+                          silhouette: Optional[jnp.ndarray] = None,
+                          silhouette_calib=None,
+                          silhouette_dilate: int = 3
                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The ENTIRE coarse-to-fine schedule as ONE compiled program.
 
@@ -618,35 +621,77 @@ def eval_grid_octree_mono(eval_fn: EvalFn, resolution: int,
     This mode chains every level's compaction/query/prune into a single
     jit: one dispatch, one sync. Compile cost is the sum of all level
     programs (persistently cached). Accepts the same per-level
-    init-mask dict as the other modes.
+    init-mask dict as the other modes, OR — preferred for visual-hull
+    pruning — a raw ``silhouette`` mask (+ its ``silhouette_calib``),
+    whose per-level init masks are then computed INSIDE the mono
+    program (``_sil_masks_traced``) instead of as ~13 separate mask
+    programs per subject. Requires the 2-D projection fast path; pass
+    precomputed ``init_dirty`` for exotic calibrations.
     """
     R = resolution
     mat = np.asarray(mat)
     cache = cache if cache is not None else {}
-    has_init = init_dirty is not None
     schedule = _level_schedule(R, init_resolution)
+    if silhouette is not None:
+        if init_dirty is not None:
+            raise ValueError("pass silhouette= or init_dirty=, not both")
+        calib_np = np.asarray(silhouette_calib)
+        null_axis = _sil_null_axis(calib_np, mat)
+        if null_axis is None:
+            raise ValueError(
+                "mono inline silhouette pruning needs the 2-D projection "
+                "fast path (an orthographic lattice axis); precompute "
+                "init_dirty=silhouette_init_masks(...) instead")
+        mask = jnp.asarray(silhouette)
+        key = ("monosil", R, num_samples, float(threshold),
+               mat.tobytes(), init_resolution, tuple(mask.shape),
+               silhouette_dilate, null_axis)
+        if key not in cache:
+            def run_sil(ctx, mask, calib):
+                lats, centers = _sil_masks_traced(
+                    mask, calib, R, mat, schedule, silhouette_dilate,
+                    null_axis)
+                return _mono_schedule(eval_fn, R, schedule, num_samples,
+                                      mat, threshold, init_resolution,
+                                      ctx, lats, centers)
+            cache[key] = jax.jit(run_sil)
+        vh, vl = cache[key](ctx, mask, jnp.asarray(silhouette_calib))
+        return vh.reshape(R, R, R), vl.reshape(R, R, R)
+    has_init = init_dirty is not None
     init_lats, init_centers = _normalize_init(init_dirty, R, schedule)
     key = ("mono", R, num_samples, float(threshold), mat.tobytes(),
            has_init, init_resolution)
     if key not in cache:
         def run(ctx, init_lats, init_centers):
-            state = _octree_state(R, init_resolution)
-            for reso in schedule:
-                vh, vl = _level_step(
-                    eval_fn, R, reso, num_samples, mat, *state, ctx,
-                    init_lats[reso] if has_init else None)
-                state = (vh, vl) + state[2:]
-                if reso <= 1:
-                    break
-                state = _prune_upsample(
-                    R, reso, threshold, *state,
-                    init_lats[reso] if has_init else None,
-                    init_centers[reso] if has_init else None)
-            return state[0], state[1]
+            return _mono_schedule(
+                eval_fn, R, schedule, num_samples, mat, threshold,
+                init_resolution, ctx,
+                init_lats if has_init else None,
+                init_centers if has_init else None)
         cache[key] = jax.jit(run)
     vh, vl = cache[key](ctx, init_lats if has_init else {},
                         init_centers if has_init else {})
     return vh.reshape(R, R, R), vl.reshape(R, R, R)
+
+
+def _mono_schedule(eval_fn, R, schedule, num_samples, mat, threshold,
+                   init_resolution, ctx, init_lats, init_centers):
+    """Traced body shared by the mono evaluator's entry points: the
+    full coarse-to-fine schedule over the flat level-state buffers."""
+    has_init = init_lats is not None
+    state = _octree_state(R, init_resolution)
+    for reso in schedule:
+        vh, vl = _level_step(
+            eval_fn, R, reso, num_samples, mat, *state, ctx,
+            init_lats[reso] if has_init else None)
+        state = (vh, vl) + state[2:]
+        if reso <= 1:
+            break
+        state = _prune_upsample(
+            R, reso, threshold, *state,
+            init_lats[reso] if has_init else None,
+            init_centers[reso] if has_init else None)
+    return state[0], state[1]
 
 
 def eval_grid_octree(eval_fn: EvalFn, resolution: int, mat: np.ndarray,
@@ -707,6 +752,87 @@ def eval_grid_octree(eval_fn: EvalFn, resolution: int, mat: np.ndarray,
     return state[0].reshape(R, R, R), state[1].reshape(R, R, R)
 
 
+def _sil_null_axis(calib_np: np.ndarray, mat: np.ndarray):
+    """Lattice axis along which the projected uv is constant, or None.
+
+    uv is AFFINE in the integer voxel index under orthographic
+    projection, with a rank-<=2 Jacobian: J = calib[:2,:3] @ diag(mat).
+    When a lattice axis is in the null space (always true for the
+    production eval calibration diag(2,-2,2,1): the z column is zero)
+    the hit field is constant along it — a 2-D hit map over the other
+    two axes (O(R^2) samples) broadcast along it equals the full
+    projection of all R^3 voxel centers."""
+    J = calib_np[0, :2, :3] @ np.diag(np.diag(mat[:3, :3]))
+    null_axes = np.where(np.abs(J).sum(axis=0) == 0.0)[0]
+    return int(null_axes[0]) if len(null_axes) else None
+
+
+def _sil_dilate(mask: jnp.ndarray, dilate: int) -> jnp.ndarray:
+    """Max-window dilation of a [H, W, 1] float mask (traced)."""
+    if dilate > 0:
+        window = (1, 2 * dilate + 1, 2 * dilate + 1, 1)
+        mask = jax.lax.reduce_window(mask[None], -jnp.inf, jax.lax.max,
+                                     window, (1, 1, 1, 1), "SAME")[0]
+    return mask
+
+
+def _sil_hit_lattice(mask, calib, L: int, mat_l: np.ndarray,
+                     null_axis: int) -> jnp.ndarray:
+    """[L, L, L] bool visual-hull hit lattice from an already-DILATED
+    mask via the 2-D fast path (traced; mat_l is the host-side
+    index->world affine of this lattice)."""
+    from ..ops.geometry import orthogonal
+    from ..ops.grid_sample import grid_sample_points
+
+    axes = [a for a in range(3) if a != null_axis]
+    ii = jnp.arange(L, dtype=jnp.float32)
+    g0 = jnp.repeat(ii, L)      # first non-null axis index
+    g1 = jnp.tile(ii, L)        # second non-null axis index
+    coords = [jnp.zeros_like(g0)] * 3
+    coords[axes[0]] = g0
+    coords[axes[1]] = g1
+    pts = (jnp.stack(coords)
+           * jnp.asarray(np.diag(mat_l[:3, :3]), jnp.float32)[:, None]
+           + jnp.asarray(mat_l[:3, 3], jnp.float32)[:, None])
+    xyz = orthogonal(pts[None], calib)
+    uv = jnp.swapaxes(xyz[:, :2, :], 1, 2)
+    hit2 = grid_sample_points(mask[None], uv)[0, :, 0] > 0.0
+    shape = [1, 1, 1]
+    shape[axes[0]] = L
+    shape[axes[1]] = L
+    return jnp.broadcast_to(hit2.reshape(shape), (L, L, L))
+
+
+def _sil_masks_traced(mask, calib, R: int, mat: np.ndarray, schedule,
+                      dilate: int, null_axis: int):
+    """Traced equivalent of :func:`silhouette_init_masks` — every
+    level's (lat, center) visual-hull masks computed INSIDE the calling
+    program (the mono evaluator folds them into its single dispatch;
+    as separate programs they cost ~13 dispatch enqueues per subject).
+    Requires the 2-D fast path (``null_axis`` not None). The mask is
+    dilated once and shared by all levels."""
+    mask = jnp.asarray(mask, jnp.float32)
+    if mask.ndim == 2:
+        mask = mask[..., None]
+    mask = _sil_dilate(mask, dilate)
+    lat: Dict = {}
+    center: Dict = {}
+    for reso in schedule:
+        L = R // reso
+        mat_l = mat.copy()
+        mat_l[:3, :3] = mat[:3, :3] * reso
+        lat[reso] = _sil_hit_lattice(mask, calib, L, mat_l,
+                                     null_axis).reshape(-1)
+        if reso > 1:
+            n = L - 1
+            mat_c = mat_l.copy()
+            mat_c[:3, 3] = (mat_c[:3, 3]
+                            + np.diag(mat[:3, :3]) * (reso // 2))
+            center[reso] = _sil_hit_lattice(mask, calib, n, mat_c,
+                                            null_axis)
+    return lat, center
+
+
 def silhouette_dirty_mask(mask_img: jnp.ndarray, calib, resolution: int,
                           mat: np.ndarray, dilate: int = 3,
                           chunk: int = 1 << 20,
@@ -732,50 +858,17 @@ def silhouette_dirty_mask(mask_img: jnp.ndarray, calib, resolution: int,
     mat = np.asarray(mat)
     calib_np = np.asarray(calib)
 
-    # uv is AFFINE in the integer voxel index under orthographic
-    # projection, with a rank-<=2 Jacobian: J = calib[:2,:3] @ diag(mat).
-    # When a lattice axis is in the null space (always true for the
-    # production eval calibration diag(2,-2,2,1): the z column is zero)
-    # the hit field is constant along it — compute a 2-D hit map over
-    # the other two axes (O(R^2) samples) and broadcast, instead of
-    # projecting and gathering all R^3 voxel centers (~0.5 G element
-    # gathers at 512^3).
-    J = calib_np[0, :2, :3] @ np.diag(np.diag(mat[:3, :3]))
-    null_axes = np.where(np.abs(J).sum(axis=0) == 0.0)[0]
-    null_axis = int(null_axes[0]) if len(null_axes) else None
-
-    def dilated(mask):
-        if dilate > 0:
-            pad = dilate
-            m4 = mask[None]
-            window = (1, 2 * pad + 1, 2 * pad + 1, 1)
-            m4 = jax.lax.reduce_window(m4, -jnp.inf, jax.lax.max, window,
-                                       (1, 1, 1, 1), "SAME")
-            mask = m4[0]
-        return mask
+    # 2-D fast path (see _sil_null_axis): O(R^2) samples + broadcast
+    # instead of projecting and gathering all R^3 voxel centers (~0.5 G
+    # element gathers at 512^3)
+    null_axis = _sil_null_axis(calib_np, mat)
 
     def run_2d(mask, calib):
-        mask = dilated(mask)
-        axes = [a for a in range(3) if a != null_axis]
-        ii = jnp.arange(R, dtype=jnp.float32)
-        g0 = jnp.repeat(ii, R)      # first non-null axis index
-        g1 = jnp.tile(ii, R)        # second non-null axis index
-        coords = [jnp.zeros_like(g0)] * 3
-        coords[axes[0]] = g0
-        coords[axes[1]] = g1
-        pts = (jnp.stack(coords)
-               * jnp.asarray(np.diag(mat[:3, :3]), jnp.float32)[:, None]
-               + jnp.asarray(mat[:3, 3], jnp.float32)[:, None])
-        xyz = orthogonal(pts[None], calib)
-        uv = jnp.swapaxes(xyz[:, :2, :], 1, 2)
-        hit2 = grid_sample_points(mask[None], uv)[0, :, 0] > 0.0
-        shape = [1, 1, 1]
-        shape[axes[0]] = R
-        shape[axes[1]] = R
-        return jnp.broadcast_to(hit2.reshape(shape), (R, R, R))
+        return _sil_hit_lattice(_sil_dilate(mask, dilate), calib, R,
+                                mat, null_axis)
 
     def run_3d(mask, calib):
-        mask = dilated(mask)
+        mask = _sil_dilate(mask, dilate)
         R3 = R * R * R
         ch = min(chunk, R3)
         n_chunks = (R3 + ch - 1) // ch

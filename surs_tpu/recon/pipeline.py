@@ -196,8 +196,20 @@ class Reconstructor:
         init_dirty = None
         # only the octree evaluators consume init_dirty — computing the
         # per-level masks on the dense path would pay one compiled mask
-        # program + dispatch per level for nothing
-        if silhouette is not None and use_octree:
+        # program + dispatch per level for nothing. The mono evaluator
+        # computes the masks INSIDE its single program when the 2-D
+        # projection fast path applies (one dispatch instead of ~14);
+        # other modes/calibrations get the precomputed per-level dict.
+        from .evaluator import _sil_null_axis
+        sil_inline = (silhouette is not None and use_octree
+                      and self.octree_mode in ("mono", "runs")
+                      and _sil_null_axis(np.asarray(calib), mat)
+                      is not None)
+        if silhouette is not None and use_octree and (
+                not sil_inline or self.octree_mode == "runs"):
+            # 'runs' may still take eval_grid_octree_runs, which
+            # consumes the precomputed dict; its mono fallback below
+            # prefers the inline path
             init_dirty = silhouette_init_masks(
                 silhouette, np.asarray(calib), resolution, mat,
                 init_resolution=init_resolution,
@@ -237,10 +249,16 @@ class Reconstructor:
                 if self.octree_mode == "hostloop" else {}
             if stats_out is not None and self.octree_mode != "hostloop":
                 stats_out["mode"] = f"octree-{self.octree_mode}"
+            if sil_inline and octree is eval_grid_octree_mono:
+                kw.update(silhouette=silhouette,
+                          silhouette_calib=np.asarray(calib),
+                          silhouette_dilate=silhouette_dilate)
+            else:
+                kw["init_dirty"] = init_dirty
             sdf_hr, sdf_lr = octree(
                 self._eval_fn, resolution, mat, threshold,
                 init_resolution=init_resolution, num_samples=num_samples,
-                ctx=ctx, cache=self._cache, init_dirty=init_dirty, **kw)
+                ctx=ctx, cache=self._cache, **kw)
         else:
             sdf_hr, sdf_lr = eval_grid_dense(
                 self._eval_fn, resolution, mat, num_samples=num_samples,

@@ -349,6 +349,42 @@ def test_mask_prune_mesh_parity():
             np.testing.assert_allclose(vm, vu, atol=0.0)
 
 
+def test_mono_inline_silhouette_matches_precomputed():
+    """eval_grid_octree_mono(silhouette=...) — per-level masks computed
+    INSIDE the mono program — is bit-identical to the precomputed
+    silhouette_init_masks path (evaluator._sil_masks_traced)."""
+    from surs_tpu.recon.evaluator import (silhouette_init_masks,
+                                          eval_grid_octree_mono)
+
+    R, init_res, thr = 32, 8, 0.05
+    mat = grid_matrix((R, R, R), np.array([-0.5] * 3), np.array([0.5] * 3))
+    calib = np.diag([2.0, -2.0, 2.0, 1.0]).astype(np.float32)[None]
+
+    def blob_eval(points, ctx=None):
+        r = jnp.linalg.norm(points - jnp.array([[0.05], [0.0], [-0.03]]),
+                            axis=0)
+        occ = jnp.clip(0.5 + (0.33 - r) * 4.0, 0.0, 1.0)
+        return occ, jnp.clip(0.5 + (0.28 - r) * 4.0, 0.0, 1.0)
+
+    S = 64
+    yy, xx = np.mgrid[:S, :S]
+    cc = (S - 1) / 2
+    disc = ((((xx - cc) ** 2 + (yy - 0.9 * cc) ** 2)
+             < (0.36 * S) ** 2)).astype(np.float32)
+
+    init = silhouette_init_masks(jnp.asarray(disc), calib, R, mat,
+                                 init_resolution=init_res, dilate=2)
+    hr_p, lr_p = eval_grid_octree_mono(
+        blob_eval, R, mat, thr, init_resolution=init_res,
+        num_samples=128, init_dirty=init)
+    hr_i, lr_i = eval_grid_octree_mono(
+        blob_eval, R, mat, thr, init_resolution=init_res,
+        num_samples=128, silhouette=jnp.asarray(disc),
+        silhouette_calib=calib, silhouette_dilate=2)
+    np.testing.assert_array_equal(np.asarray(hr_p), np.asarray(hr_i))
+    np.testing.assert_array_equal(np.asarray(lr_p), np.asarray(lr_i))
+
+
 def test_mask_prune_defaults_on():
     """The config default takes the measured-faster pruned path on every
     masked subject; --no_mask_prune is the opt-out (config.py)."""
