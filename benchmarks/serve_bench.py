@@ -64,19 +64,30 @@ with tempfile.TemporaryDirectory() as td:
     t_pipe = 1e30
     for _ in range(2):
         t0 = time.time()
-        service.reconstruct_many(items, os.path.join(td, "pipe"))
+        service.reconstruct_many(items, os.path.join(td, "pipe"),
+                                 writer_thread=False)
         t_pipe = min(t_pipe, time.time() - t0)
+
+    t_thr = 1e30
+    for _ in range(2):
+        t0 = time.time()
+        service.reconstruct_many(items, os.path.join(td, "thr"))
+        t_thr = min(t_thr, time.time() - t0)
 
     # parity spot check
     a = open(os.path.join(td, "seq", "subj1_HR.obj"), "rb").read()
     b = open(os.path.join(td, "pipe", "subj1_HR.obj"), "rb").read()
-    assert a == b, "pipelined output diverged from sequential"
+    c = open(os.path.join(td, "thr", "subj1_HR.obj"), "rb").read()
+    assert a == b == c, "pipelined output diverged from sequential"
 
-print(f"sequential: {t_seq:.2f}s total, {t_seq / N:.2f}s/subject, "
+print(f"sequential:      {t_seq:.2f}s total, {t_seq / N:.2f}s/subject, "
       f"{60 * N / t_seq:.1f} subjects/min", flush=True)
-print(f"pipelined:  {t_pipe:.2f}s total, {t_pipe / N:.2f}s/subject, "
+print(f"pipelined:       {t_pipe:.2f}s total, {t_pipe / N:.2f}s/subject, "
       f"{60 * N / t_pipe:.1f} subjects/min "
       f"({t_seq / t_pipe:.2f}x)", flush=True)
+print(f"pipelined+thread: {t_thr:.2f}s total, {t_thr / N:.2f}s/subject, "
+      f"{60 * N / t_thr:.1f} subjects/min "
+      f"({t_seq / t_thr:.2f}x)", flush=True)
 
 # merge this resolution's row into the repo-level serving record that
 # bench.py surfaces (extras.serving), stamped with the commit so the
@@ -105,9 +116,11 @@ rec.setdefault("runs", {})[str(RES)] = {
     "n_subjects": N, "load_size": LOAD,
     "sequential_sec_total": round(t_seq, 2),
     "pipelined_sec_total": round(t_pipe, 2),
+    "pipelined_thread_sec_total": round(t_thr, 2),
     "sequential_spm": round(60 * N / t_seq, 2),
-    "pipelined_spm": round(60 * N / t_pipe, 2),
-    "speedup": round(t_seq / t_pipe, 3),
+    "pipelined_spm": round(60 * N / min(t_pipe, t_thr), 2),
+    "speedup": round(t_seq / min(t_pipe, t_thr), 3),
+    "speedup_thread": round(t_seq / t_thr, 3),
 }
 with open(rec_path, "w") as f:
     json.dump(rec, f, indent=1)

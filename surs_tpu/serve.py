@@ -131,37 +131,62 @@ class SuRSService:
                                  data, os.path.join(out_dir, name + ".obj"),
                                  use_octree=self.cfg.use_octree)
 
-    def reconstruct_many(self, items, out_dir: str):
+    def reconstruct_many(self, items, out_dir: str,
+                         writer_thread: bool = True, depth: int = 2):
         """Pipelined batch serving: ``items`` iterates
         ``(image, mask, name)``; returns the list of (HR, LR) OBJ path
         pairs, in order.
 
-        Runs a one-subject-deep software pipeline: subject i+1's device
-        programs (encode + evaluation) are ENQUEUED before subject i's
+        Runs a software pipeline: subject i+1's device programs
+        (encode + evaluation) are ENQUEUED before subject i's
         extraction/merge/OBJ-write syncs, so the chip never idles while
         the host writes meshes — steady-state throughput approaches
         max(device_time, host_time) per subject instead of their sum.
-        Per-subject results are identical to sequential
-        :meth:`reconstruct` calls (the pipeline only reorders work).
+
+        ``writer_thread`` (default): the finish stage — wire fetch,
+        decode, native OBJ write — runs on ONE worker thread. Those
+        calls sit in GIL-releasing numpy/ctypes/file I/O, so even on a
+        single-core host they overlap with the main thread's program
+        enqueues for the next subject (the enqueue RPCs are the
+        serving bottleneck on tunneled rigs — BASELINE.md round 4).
+        ``depth`` bounds subjects in flight beyond the one being
+        enqueued (each holds device mesh buffers). Per-subject results
+        are identical to sequential :meth:`reconstruct` calls (the
+        pipeline only reorders work).
         """
         os.makedirs(out_dir, exist_ok=True)
-        results, pending = [], None
-        for image, mask, name in items:
+
+        def begin(image, mask, name):
             img, m = normalize_image(image, mask)
             data = {"img_LR": img, "b_min": np.asarray(self.cfg.b_min),
                     "b_max": np.asarray(self.cfg.b_max)}
             if m is not None and self.cfg.mask_prune:
                 data["mask_LR"] = m
-            work = self.rec.gen_mesh_begin(
+            return self.rec.gen_mesh_begin(
                 self.cfg, self.params, self.weights, data,
                 os.path.join(out_dir, name + ".obj"),
                 use_octree=self.cfg.use_octree)
+
+        if not writer_thread:
+            results, pending = [], None
+            for image, mask, name in items:
+                work = begin(image, mask, name)
+                if pending is not None:
+                    results.append(pending())
+                pending = work
             if pending is not None:
                 results.append(pending())
-            pending = work
-        if pending is not None:
-            results.append(pending())
-        return results
+            return results
+
+        from concurrent.futures import ThreadPoolExecutor
+        futures = []
+        with ThreadPoolExecutor(max_workers=1,
+                                thread_name_prefix="surs-writer") as ex:
+            for image, mask, name in items:
+                futures.append(ex.submit(begin(image, mask, name)))
+                if len(futures) > depth:
+                    futures[len(futures) - 1 - depth].result()
+            return [f.result() for f in futures]
 
     def fields(self, image: np.ndarray, mask: Optional[np.ndarray]):
         """Raw (sdf_hr, sdf_lr) occupancy volumes for a subject (for

@@ -53,13 +53,16 @@ def test_service_reconstruct_many_matches_sequential(tmp_path, rng):
         items.append((img, mask, f"s{i}"))
 
     seq_dir = str(tmp_path / "seq")
-    pipe_dir = str(tmp_path / "pipe")
     seq = [service.reconstruct(im, m, n, seq_dir) for im, m, n in items]
-    pipe = service.reconstruct_many(items, pipe_dir)
-    assert len(pipe) == len(seq)
-    for (sh, sl), (ph, pl) in zip(seq, pipe):
-        assert os.path.basename(sh) == os.path.basename(ph)
-        with open(sh, "rb") as a, open(ph, "rb") as b:
-            assert a.read() == b.read()
-        with open(sl, "rb") as a, open(pl, "rb") as b:
-            assert a.read() == b.read()
+    # both pipeline modes: writer-thread (default) and inline finish
+    for sub, thread in (("thr", True), ("pipe", False)):
+        pipe_dir = str(tmp_path / sub)
+        pipe = service.reconstruct_many(items, pipe_dir,
+                                        writer_thread=thread)
+        assert len(pipe) == len(seq)
+        for (sh, sl), (ph, pl) in zip(seq, pipe):
+            assert os.path.basename(sh) == os.path.basename(ph)
+            with open(sh, "rb") as a, open(ph, "rb") as b:
+                assert a.read() == b.read()
+            with open(sl, "rb") as a, open(pl, "rb") as b:
+                assert a.read() == b.read()
