@@ -173,12 +173,17 @@ def main():
         # is the representative steady-state figure
         sps_ex = summary["iters"] / max(loop_wall - summary["save_sec"],
                                         1e-9)
+        resid = (loop_wall - summary["data_sec"]
+                 - summary["enqueue_sec"] - summary["save_sec"]
+                 - summary.get("log_sec", 0.0))
         print(f"[datafed] {summary['iters']} steps in {loop_wall:.1f}s "
               f"train() wall ({wall:.1f}s incl. imports) = "
               f"{sps:.2f} steps/s end-to-end ({sps_ex:.2f} ex-save); "
               f"data-wait {summary['data_sec']:.1f}s, enqueue "
               f"{summary['enqueue_sec']:.1f}s, saves "
-              f"{summary['save_sec']:.1f}s", flush=True)
+              f"{summary['save_sec']:.1f}s, log-fetch "
+              f"{summary.get('log_sec', 0.0):.1f}s, "
+              f"unattributed {resid:.1f}s", flush=True)
 
         rec = {"source": "benchmarks/datafed_train_bench.py",
                "backend": backend, "iters": summary["iters"],
@@ -192,7 +197,9 @@ def main():
                "items_per_sec_end_to_end": round(2 * sps, 2),
                "data_wait_sec": round(summary["data_sec"], 2),
                "enqueue_sec": round(summary["enqueue_sec"], 2),
-               "save_sec": round(summary["save_sec"], 2)}
+               "save_sec": round(summary["save_sec"], 2),
+               "log_fetch_sec": round(summary.get("log_sec", 0.0), 2),
+               "unattributed_sec": round(resid, 2)}
         try:
             rec["git_commit"] = subprocess.run(
                 ["git", "rev-parse", "--short", "HEAD"],

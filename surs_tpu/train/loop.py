@@ -95,7 +95,7 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
     datafed_train_bench.py) report data-fed throughput without parsing
     the log lines."""
     t_train0 = time.time()
-    data_sec = net_sec = save_sec = 0.0
+    data_sec = net_sec = save_sec = log_sec = 0.0
     train_dataset = TrainDataset(cfg, phase="train", yaw_list=yaw_list)
     test_dataset = TrainDataset(cfg, phase="test", yaw_list=yaw_list)
     loader = DataLoader(train_dataset, batch_size=cfg.batch_size,
@@ -149,6 +149,12 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
 
     lr = cfg.learning_rate
     iters_done = 0
+    # Lagged loss logging: fetching the CURRENT step's loss would block
+    # until every enqueued step drains (the host runs ahead of the
+    # device by design); holding the device scalar one log period and
+    # fetching the PREVIOUS log step's loss costs only the fetch-RPC
+    # floor. The printed line is labelled with the step it belongs to.
+    pending_log = None          # (epoch, idx, err_device, data_t, net_t)
     for epoch in range(start_epoch, cfg.num_epoch):
         epoch_start = time.time()
         new_lr = lr_for_epoch(cfg.learning_rate, epoch, cfg.schedule,
@@ -174,15 +180,22 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
             iter_net = time.time()
             net_sec += iter_net - iter_start
             if idx % cfg.freq_plot == 0:
-                err = float(metrics["total"])
-                eta = ((iter_net - epoch_start) / (idx + 1)) * len(loader) \
-                    - (iter_net - epoch_start)
-                print(f"Name: {cfg.name} | Epoch: {epoch} | {idx}/"
-                      f"{len(loader)} | Err: {err:.06f} | LR: {lr:.06f} | "
-                      f"Sigma: {cfg.sigma:.02f} | "
-                      f"dataT: {iter_start - iter_data_t:.05f} | "
-                      f"netT: {iter_net - iter_start:.05f} | "
-                      f"ETA: {int(eta // 60):02d}:{int(eta % 60):02d}")
+                t_l = time.time()
+                if pending_log is not None:
+                    p_epoch, p_idx, err_d, d_t, n_t = pending_log
+                    err = float(err_d)          # finished long ago
+                    eta = ((iter_net - epoch_start) / (idx + 1)) \
+                        * len(loader) - (iter_net - epoch_start)
+                    print(f"Name: {cfg.name} | Epoch: {p_epoch} | "
+                          f"{p_idx}/{len(loader)} | Err: {err:.06f} | "
+                          f"LR: {lr:.06f} | Sigma: {cfg.sigma:.02f} | "
+                          f"dataT: {d_t:.05f} | netT: {n_t:.05f} | "
+                          f"ETA: {int(eta // 60):02d}:"
+                          f"{int(eta % 60):02d}")
+                pending_log = (epoch, idx, metrics["total"],
+                               iter_start - iter_data_t,
+                               iter_net - iter_start)
+                log_sec += time.time() - t_l
             if idx % cfg.freq_save == 0 and idx != 0:
                 t_s = time.time()
                 ckpt.save(state, epoch)
@@ -216,7 +229,8 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
                 return {"iters": iters_done,
                         "wall_sec": time.time() - t_train0,
                         "data_sec": data_sec, "enqueue_sec": net_sec,
-                        "save_sec": save_sec}
+                        "save_sec": save_sec,
+                        "log_sec": log_sec}
         t_s = time.time()
         ckpt.save(state, epoch)
         save_sec += time.time() - t_s
@@ -250,4 +264,4 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
     profiler.stop()
     return {"iters": iters_done, "wall_sec": time.time() - t_train0,
             "data_sec": data_sec, "enqueue_sec": net_sec,
-            "save_sec": save_sec}
+            "save_sec": save_sec, "log_sec": log_sec}
