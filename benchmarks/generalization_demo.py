@@ -52,15 +52,43 @@ LOAD = 512 if ON_TPU else 64
 RES = 512 if ON_TPU else 48
 ITERS = int(os.environ.get("SURS_GEN_ITERS", "6000" if ON_TPU else "40"))
 N_TRAIN = int(os.environ.get("SURS_GEN_SUBJECTS", "4"))
-MILESTONES = sorted({ITERS * k // 3 for k in (1, 2, 3)} - {0}) \
+MILESTONES = sorted({ITERS * k // 4 for k in (1, 2, 3, 4)} - {0}) \
     if ON_TPU else [ITERS]
 STATE = os.environ.get("SURS_GEN_STATE", "")
 HELD_OUT_YAW = 15          # never in the 30-degree training yaw grid
 N_INOUT = 6000 if ON_TPU else 512
 SCALE = 1.7                # subject height, for chamfer %-of-scale
 
-root = tempfile.mkdtemp(prefix="gen_")
-obj_dir = os.path.join(root, "GEO", "OBJ"); os.makedirs(obj_dir)
+
+def _transient(e: Exception) -> bool:
+    """Tunneled-backend RPC flakes (remote_compile body cut, deadline,
+    connection reset) — retryable; anything else re-raises."""
+    s = str(e)
+    return any(m in s for m in ("remote_compile", "read body",
+                                "DEADLINE", "UNAVAILABLE",
+                                "connection", "Connection"))
+
+
+def _retry(fn, *args, attempts: int = 4, wait: float = 15.0):
+    for k in range(attempts):
+        try:
+            return fn(*args)
+        except jax.errors.JaxRuntimeError as e:  # type: ignore[attr-defined]
+            if k == attempts - 1 or not _transient(e):
+                raise
+            print(f"  transient backend error ({str(e)[:120]}) — "
+                  f"retry {k + 1}/{attempts - 1} in {wait:.0f}s",
+                  flush=True)
+            time.sleep(wait)
+
+
+# reusable dataset dir (SURS_GEN_DATA): a killed run's render/cache work
+# survives; the .complete sentinel gates the build stages
+root = os.environ.get("SURS_GEN_DATA") or tempfile.mkdtemp(prefix="gen_")
+os.makedirs(root, exist_ok=True)
+_built = os.path.exists(os.path.join(root, ".complete"))
+obj_dir = os.path.join(root, "GEO", "OBJ")
+os.makedirs(obj_dir, exist_ok=True)
 subjects = [f"h{i}" for i in range(N_TRAIN + 1)]   # last one held out
 variants = {s: humanoid_variant(i) for i, s in enumerate(subjects)}
 val_subject = subjects[-1]
@@ -75,28 +103,33 @@ def implicit_mesh(path, caps, detail, freqs, R=160, lo=-0.85, hi=1.0):
     save_obj_mesh(path, verts, faces)
 
 
-t0 = time.time()
-for s in subjects:
-    caps, detail, freqs = variants[s]
-    implicit_mesh(os.path.join(obj_dir, f"{s}_HR.obj"), caps, detail,
-                  freqs)
-    implicit_mesh(os.path.join(obj_dir, f"{s}_LR.obj"), caps, 0.0, freqs)
-open(os.path.join(root, "val.txt"), "w").write(val_subject + "\n")
-print(f"{len(subjects)} subject meshes built in {time.time()-t0:.1f}s "
-      f"(val: {val_subject})", flush=True)
+if not _built:
+    t0 = time.time()
+    for s in subjects:
+        caps, detail, freqs = variants[s]
+        implicit_mesh(os.path.join(obj_dir, f"{s}_HR.obj"), caps, detail,
+                      freqs)
+        implicit_mesh(os.path.join(obj_dir, f"{s}_LR.obj"), caps, 0.0,
+                      freqs)
+    open(os.path.join(root, "val.txt"), "w").write(val_subject + "\n")
+    print(f"{len(subjects)} subject meshes built in {time.time()-t0:.1f}s"
+          f" (val: {val_subject})", flush=True)
 
-t0 = time.time()
-render_dataset(obj_dir, root, load_size=LOAD, yaw_step=30, patch=16)
-print(f"dataset rendered ({LOAD}px, 12 views x {len(subjects)}) in "
-      f"{time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    render_dataset(obj_dir, root, load_size=LOAD, yaw_step=30, patch=16)
+    print(f"dataset rendered ({LOAD}px, 12 views x {len(subjects)}) in "
+          f"{time.time()-t0:.1f}s", flush=True)
+else:
+    print(f"reusing built dataset at {root}", flush=True)
 
 # exact implicit labels (no mesh-containment noise), per subject
-cache_dir = os.path.join(root, "SAMPLE_CACHE"); os.makedirs(cache_dir)
+cache_dir = os.path.join(root, "SAMPLE_CACHE")
+os.makedirs(cache_dir, exist_ok=True)
 meshes = {s: (MeshData(*load_obj(os.path.join(obj_dir, f"{s}_HR.obj"))),
               MeshData(*load_obj(os.path.join(obj_dir, f"{s}_LR.obj"))))
           for s in subjects}
 t0 = time.time()
-for s in subjects:
+for s in [] if _built else subjects:
     caps, detail, freqs = variants[s]
     mesh_hr, mesh_lr = meshes[s]
 
@@ -115,7 +148,9 @@ for s in subjects:
                                        contains_fn=contains_fn)
         np.savez_compressed(os.path.join(cache_dir, f"{s}_{d:03d}.npz"),
                             **out)
-print(f"sample cache built in {time.time()-t0:.1f}s", flush=True)
+if not _built:
+    print(f"sample cache built in {time.time()-t0:.1f}s", flush=True)
+    open(os.path.join(root, ".complete"), "w").write("ok\n")
 
 cfg = SuRSConfig(dataroot=root, name="gen", loadSize=LOAD,
                  residual=ON_TPU, num_sample_inout=N_INOUT, sigma=0.025,
@@ -261,13 +296,20 @@ def milestone_eval(params, it):
                               (subjects[0], HELD_OUT_YAW, "held_out_view"),
                               (val_subject, 0, "held_out_subject")):
         t0 = time.time()
-        row = reconstruct_metrics(params, subject, yaw, tag)
+        try:
+            row = _retry(lambda: reconstruct_metrics(params, subject,
+                                                     yaw, tag))
+        except Exception as e:  # one bad row must not kill the run
+            row = {"tag": tag, "subject": subject, "yaw": yaw,
+                   "error": str(e)[:200]}
         row["iters"] = it
         record["rows"].append(row)
         print(f"  [{it}] {tag} ({subject}@{yaw}): "
               + (f"chamfer {row['chamfer_pct_of_scale']}% "
                  f"normal_cos {row['normal_cos']} p2s {row['p2s']}"
-                 if "chamfer" in row else "EMPTY MESH")
+                 if "chamfer" in row else
+                 ("ERROR " + row["error"][:80] if "error" in row
+                  else "EMPTY MESH"))
               + f" ({time.time()-t0:.0f}s)", flush=True)
     # refresh the record file at every milestone (long runs can be cut)
     val_rows = [r for r in record["rows"]
@@ -297,7 +339,8 @@ while it < ITERS:
             break
         host = batch_host_arrays(raw, quantize_images=True)
         payload, spec = pack_arrays(host)
-        state, m = step(state, jnp.asarray(payload), spec)
+        state, m = _retry(lambda: step(state, jnp.asarray(payload),
+                                       spec))
         it += 1
         if it % 250 == 0 or it == 1:
             print(f"iter {it}: loss {float(m['total']):.4f} "
