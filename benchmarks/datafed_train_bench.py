@@ -140,7 +140,7 @@ def main():
                          num_sample_inout=6000, sigma=0.05,
                          batch_size=2, learning_rate=1e-3,
                          num_workers=workers, freq_plot=25,
-                         freq_save=10 ** 9, freq_save_ply=10 ** 9,
+                         freq_save=10 ** 9, freq_save_ply=0,
                          no_gen_mesh=True, num_epoch=10 ** 6,
                          checkpoints_path=ckpt_dir,
                          results_path=res_dir,
@@ -175,7 +175,9 @@ def main():
                                         1e-9)
         resid = (loop_wall - summary["data_sec"]
                  - summary["enqueue_sec"] - summary["save_sec"]
-                 - summary.get("log_sec", 0.0))
+                 - summary.get("log_sec", 0.0)
+                 - summary.get("prep_sec", 0.0)
+                 - summary.get("ply_sec", 0.0))
         print(f"[datafed] {summary['iters']} steps in {loop_wall:.1f}s "
               f"train() wall ({wall:.1f}s incl. imports) = "
               f"{sps:.2f} steps/s end-to-end ({sps_ex:.2f} ex-save); "
@@ -183,6 +185,7 @@ def main():
               f"{summary['enqueue_sec']:.1f}s, saves "
               f"{summary['save_sec']:.1f}s, log-fetch "
               f"{summary.get('log_sec', 0.0):.1f}s, "
+              f"prep {summary.get('prep_sec', 0.0):.1f}s, "
               f"unattributed {resid:.1f}s", flush=True)
 
         rec = {"source": "benchmarks/datafed_train_bench.py",
@@ -199,6 +202,8 @@ def main():
                "enqueue_sec": round(summary["enqueue_sec"], 2),
                "save_sec": round(summary["save_sec"], 2),
                "log_fetch_sec": round(summary.get("log_sec", 0.0), 2),
+               "prep_sec": round(summary.get("prep_sec", 0.0), 2),
+               "ply_sec": round(summary.get("ply_sec", 0.0), 2),
                "unattributed_sec": round(resid, 2)}
         try:
             rec["git_commit"] = subprocess.run(

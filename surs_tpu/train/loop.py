@@ -96,6 +96,7 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
     the log lines."""
     t_train0 = time.time()
     data_sec = net_sec = save_sec = log_sec = 0.0
+    prep_sec = ply_sec = 0.0
     train_dataset = TrainDataset(cfg, phase="train", yaw_list=yaw_list)
     test_dataset = TrainDataset(cfg, phase="test", yaw_list=yaw_list)
     loader = DataLoader(train_dataset, batch_size=cfg.batch_size,
@@ -168,6 +169,8 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
             iter_start = time.time()
             data_sec += iter_start - iter_data_t
             host = batch_host_arrays(raw, quantize_images=True)
+            t_prep = time.time()
+            prep_sec += t_prep - iter_start
             if pack:
                 payload, spec = pack_arrays(host)
                 state, metrics = packed_step(state, jnp.asarray(payload),
@@ -178,7 +181,7 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
             # only sync on the loss when logging — a per-step device
             # fetch would serialize the async dispatch pipeline
             iter_net = time.time()
-            net_sec += iter_net - iter_start
+            net_sec += iter_net - t_prep
             if idx % cfg.freq_plot == 0:
                 t_l = time.time()
                 if pending_log is not None:
@@ -200,13 +203,18 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
                 t_s = time.time()
                 ckpt.save(state, epoch)
                 save_sec += time.time() - t_s
-            if idx % cfg.freq_save_ply == 0:
+            if cfg.freq_save_ply > 0 and idx % cfg.freq_save_ply == 0:
                 # reference quirk preserved verbatim
                 # (apps/train_SuRS.py:166-184): res_hr — the fine-MLP
                 # predictions, which the model evaluates at points_LR —
                 # is plotted onto the points_HR coordinates. Misleading
                 # for visual QC, but it is exactly what the reference
-                # dumps, and these PLYs exist for parity.
+                # dumps, and these PLYs exist for parity. Like the
+                # reference, idx 0 of every epoch dumps (0 % f == 0);
+                # freq_save_ply <= 0 disables the dumps entirely (the
+                # pred_hr fetch below drains the dispatch pipeline, so
+                # an unwanted dump costs far more than the file write).
+                t_p = time.time()
                 base = os.path.join(cfg.results_path, cfg.name)
                 pts = np.asarray(host["points_hr"][0]).T
                 save_samples_truncted_prob(
@@ -219,6 +227,7 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
                     os.path.join(base, f"{epoch}pred_lr.ply"),
                     np.asarray(host["points_lr"][0]).T,
                     np.asarray(host["labels_lr"][0]))
+                ply_sec += time.time() - t_p
             iter_data_t = time.time()
             iters_done += 1
             if max_iters is not None and iters_done >= max_iters:
@@ -230,7 +239,8 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
                         "wall_sec": time.time() - t_train0,
                         "data_sec": data_sec, "enqueue_sec": net_sec,
                         "save_sec": save_sec,
-                        "log_sec": log_sec}
+                        "log_sec": log_sec,
+                        "prep_sec": prep_sec, "ply_sec": ply_sec}
         t_s = time.time()
         ckpt.save(state, epoch)
         save_sec += time.time() - t_s
@@ -264,4 +274,5 @@ def train(cfg: SuRSConfig, max_iters: Optional[int] = None,
     profiler.stop()
     return {"iters": iters_done, "wall_sec": time.time() - t_train0,
             "data_sec": data_sec, "enqueue_sec": net_sec,
-            "save_sec": save_sec, "log_sec": log_sec}
+            "save_sec": save_sec, "log_sec": log_sec,
+            "prep_sec": prep_sec, "ply_sec": ply_sec}
