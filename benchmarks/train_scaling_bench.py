@@ -86,10 +86,13 @@ def make_batch(B, N, S=LOAD_SIZE // 2):
 
 def run_row(kind, B, N):
     # kinds: xla | fused | remat (XLA step with point-MLP remat — the
-    # config.py `remat` flag that unlocks large-N compiles)
+    # config.py `remat` flag that unlocks large-N compiles) | rematenc
+    # (remat + remat_encoder: checkpoints the conv trunk too — the knob
+    # that fits batch>=16 at loadSize 512 in HBM)
     cfg = SuRSConfig(loadSize=LOAD_SIZE, residual=True, num_sample_inout=N,
                      batch_size=B, learning_rate=1e-3, dtype="auto",
-                     remat=(kind == "remat"))
+                     remat=(kind in ("remat", "rematenc")),
+                     remat_encoder=(kind == "rematenc"))
     model = surs_net_from_config(cfg)
     opt = make_optimizer(cfg)
     batch = make_batch(B, N)

@@ -188,6 +188,18 @@ class SuRSConfig:
                                     # plain XLA fails HTTP 500 there).
                                     # Inference is unaffected (checkpoint
                                     # is a no-op without grad).
+    remat_encoder: bool = False     # additionally rematerialize the
+                                    # conv trunk (SuRSSR + both
+                                    # HGFilters) under grad. The encoder
+                                    # activations at loadSize 512
+                                    # dominate train-step HBM once the
+                                    # batch grows (batch 16 is
+                                    # RESOURCE_EXHAUSTED without this,
+                                    # BENCH_train_scaling.json); costs
+                                    # one extra encoder forward in the
+                                    # backward pass. Off by default —
+                                    # the reference operating point
+                                    # (batch 2) doesn't need it.
     pack_h2d: bool = True           # ship each training batch as ONE
                                     # uint8 payload and unpack it inside
                                     # the jitted step (train/pack.py):

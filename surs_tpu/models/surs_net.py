@@ -65,6 +65,10 @@ class SuRSNet(nn.Module):
     # train-step memory at large N, at the cost of one extra MLP forward
     # in the backward pass
     remat: bool = False
+    # also checkpoint the conv trunk (SR + hourglass filters): drops the
+    # [B, S, S, C] encoder activation grad temps that dominate HBM at
+    # large batch (config.py `remat_encoder`); no-op outside grad
+    remat_encoder: bool = False
 
     def setup(self):
         import jax.numpy as _jnp
@@ -74,15 +78,17 @@ class SuRSNet(nn.Module):
                 f"(got {self.dtype!r}; use surs_net_from_config or "
                 f"config.resolve_auto for 'auto')")
         dt = _jnp.bfloat16 if self.dtype == "bfloat16" else _jnp.float32
-        self.super_resolution = SuRSSR(n_block=tuple(self.n_block),
+        sr_cls = (nn.remat(SuRSSR) if self.remat_encoder else SuRSSR)
+        hg_cls = (nn.remat(HGFilter) if self.remat_encoder else HGFilter)
+        self.super_resolution = sr_cls(n_block=tuple(self.n_block),
                                        residual=self.residual,
                                        scale=self.scale, dtype=dt)
-        self.image_filter_lr = HGFilter(self.num_stack_lr, self.hg_depth,
-                                        self.hg_dim, self.norm, "low_res",
-                                        use_sigmoid=False, dtype=dt)
-        self.image_filter_hr = HGFilter(self.num_stack_hr, self.hg_depth,
-                                        64, self.norm, "high_res",
-                                        use_sigmoid=False, dtype=dt)
+        self.image_filter_lr = hg_cls(self.num_stack_lr, self.hg_depth,
+                                      self.hg_dim, self.norm, "low_res",
+                                      use_sigmoid=False, dtype=dt)
+        self.image_filter_hr = hg_cls(self.num_stack_hr, self.hg_depth,
+                                      64, self.norm, "high_res",
+                                      use_sigmoid=False, dtype=dt)
         mlp_cls = (nn.remat(SurfaceClassifier) if self.remat
                    else SurfaceClassifier)
         self.mlp_lr = mlp_cls(tuple(self.mlp_dim_lr),
@@ -228,4 +234,5 @@ def surs_net_from_config(cfg) -> SuRSNet:
         load_size=cfg.loadSize, z_size=cfg.z_size,
         w_mlp1=cfg.mlp1, w_mlp2=cfg.mlp2, w_sr=cfg.srweight,
         w_disp=cfg.dispweight, dtype=resolve_auto("dtype", cfg.dtype),
-        remat=cfg.remat)
+        remat=cfg.remat,
+        remat_encoder=getattr(cfg, "remat_encoder", False))

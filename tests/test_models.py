@@ -228,6 +228,31 @@ def test_surs_net_remat_grad_parity(rng):
                                    rtol=2e-5, atol=1e-6)
 
 
+def test_surs_net_remat_encoder_grad_parity(rng):
+    """`remat_encoder=True` (config.py remat_encoder) additionally
+    checkpoints the conv trunk (SuRSSR + HGFilters) — the knob that
+    fits batch>=16 at loadSize 512 in HBM (BENCH_train_scaling.json).
+    Like point-MLP remat it must be value- and grad-identical."""
+    import jax
+    batch = tiny_batch(rng)
+    net = tiny_net()
+    net_r = tiny_net(remat=True, remat_encoder=True)
+    params = net.init(jax.random.PRNGKey(0), *batch, train=True)["params"]
+
+    def make_loss(m):
+        return lambda p: m.apply({"params": p}, *batch, train=True)[1]
+
+    l0, g0 = jax.value_and_grad(make_loss(net))(params)
+    l1, g1 = jax.value_and_grad(make_loss(net_r))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    assert len(flat0) == len(flat1)
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
 def test_hgfilter_conv64_mode(rng):
     """The reference's third stem variant (HGFilters.py:142-144)."""
     import jax
