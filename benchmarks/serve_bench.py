@@ -52,7 +52,8 @@ with tempfile.TemporaryDirectory() as td:
     # throughput means; timings below are min over 2 full passes.
     for img, m, name in items:
         service.reconstruct(img, m, name, os.path.join(td, "w"))
-    service.reconstruct_many(items, os.path.join(td, "wp"))
+    service.reconstruct_many(items, os.path.join(td, "wp"),
+                             pipeline=True, writer_thread=True)
 
     t_seq = 1e30
     for _ in range(2):
@@ -65,13 +66,14 @@ with tempfile.TemporaryDirectory() as td:
     for _ in range(2):
         t0 = time.time()
         service.reconstruct_many(items, os.path.join(td, "pipe"),
-                                 writer_thread=False)
+                                 pipeline=True, writer_thread=False)
         t_pipe = min(t_pipe, time.time() - t0)
 
     t_thr = 1e30
     for _ in range(2):
         t0 = time.time()
-        service.reconstruct_many(items, os.path.join(td, "thr"))
+        service.reconstruct_many(items, os.path.join(td, "thr"),
+                                 pipeline=True, writer_thread=True)
         t_thr = min(t_thr, time.time() - t0)
 
     # parity spot check

@@ -132,10 +132,20 @@ class SuRSService:
                                  use_octree=self.cfg.use_octree)
 
     def reconstruct_many(self, items, out_dir: str,
-                         writer_thread: bool = True, depth: int = 2):
-        """Pipelined batch serving: ``items`` iterates
-        ``(image, mask, name)``; returns the list of (HR, LR) OBJ path
-        pairs, in order.
+                         writer_thread: Optional[bool] = None,
+                         depth: int = 2,
+                         pipeline: Optional[bool] = None):
+        """Batch serving: ``items`` iterates ``(image, mask, name)``;
+        returns the list of (HR, LR) OBJ path pairs, in order.
+
+        ``pipeline=None`` (auto) picks the measured-fastest mode for
+        the configured resolution (BENCH_serve.json on the 1-core
+        tunneled rig): pipelined at >=512³ (1.45× over sequential —
+        the per-subject device work is big enough to hide the host's
+        mesh merge/write), plain sequential ``reconstruct`` calls
+        below (at 256³ the pipeline's extra bookkeeping LOSES ~1.6×;
+        the whole subject is near the enqueue floor). Pass
+        ``pipeline=True/False`` to force a mode.
 
         Runs a software pipeline: subject i+1's device programs
         (encode + evaluation) are ENQUEUED before subject i's
@@ -143,18 +153,27 @@ class SuRSService:
         the host writes meshes — steady-state throughput approaches
         max(device_time, host_time) per subject instead of their sum.
 
-        ``writer_thread`` (default): the finish stage — wire fetch,
-        decode, native OBJ write — runs on ONE worker thread. Those
-        calls sit in GIL-releasing numpy/ctypes/file I/O, so even on a
-        single-core host they overlap with the main thread's program
-        enqueues for the next subject (the enqueue RPCs are the
-        serving bottleneck on tunneled rigs — BASELINE.md round 4).
-        ``depth`` bounds subjects in flight beyond the one being
-        enqueued (each holds device mesh buffers). Per-subject results
-        are identical to sequential :meth:`reconstruct` calls (the
-        pipeline only reorders work).
+        ``writer_thread=True``: the finish stage — wire fetch, decode,
+        native OBJ write — runs on ONE worker thread; those calls sit
+        in GIL-releasing numpy/ctypes/file I/O, so they can overlap
+        the main thread's program enqueues. Measured SLOWER than the
+        inline finish on the 1-core rig at every resolution
+        (BENCH_serve.json round 5: 1.25× vs 1.45× at 512³ — the
+        handoff costs more than the overlap buys when one core runs
+        both sides), so the auto default is False; the knob remains
+        for multi-core hosts. ``depth`` bounds subjects in flight
+        beyond the one being enqueued (each holds device mesh
+        buffers). Per-subject results are identical to sequential
+        :meth:`reconstruct` calls (the pipeline only reorders work).
         """
         os.makedirs(out_dir, exist_ok=True)
+        if pipeline is None:
+            pipeline = self.cfg.resolution >= 512
+        if writer_thread is None:
+            writer_thread = False
+        if not pipeline:
+            return [self.reconstruct(image, mask, name, out_dir)
+                    for image, mask, name in items]
 
         def begin(image, mask, name):
             img, m = normalize_image(image, mask)

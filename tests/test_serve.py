@@ -54,10 +54,12 @@ def test_service_reconstruct_many_matches_sequential(tmp_path, rng):
 
     seq_dir = str(tmp_path / "seq")
     seq = [service.reconstruct(im, m, n, seq_dir) for im, m, n in items]
-    # both pipeline modes: writer-thread (default) and inline finish
+    # both pipeline modes (forced on — resolution 16 would auto-pick
+    # the sequential path): writer-thread and inline finish
     for sub, thread in (("thr", True), ("pipe", False)):
         pipe_dir = str(tmp_path / sub)
         pipe = service.reconstruct_many(items, pipe_dir,
+                                        pipeline=True,
                                         writer_thread=thread)
         assert len(pipe) == len(seq)
         for (sh, sl), (ph, pl) in zip(seq, pipe):
